@@ -1,0 +1,385 @@
+"""
+Matplotlib visualization helpers (host-side).
+
+Function-for-function parity with the plotting half of the reference's
+gpim/gprutils.py:385-938: hyperparameter evolution (incl. spectral-mixture
+components), raw hyperspectral data, 2D/3D reconstructions, exploration
+episodes, inducing-point trajectories and BO query paths. Inputs follow the
+same conventions (hyperparams dicts from the reconstructors, flattened
+mean/sd arrays, lists of per-step arrays from boptimizer).
+"""
+
+import copy
+import os
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+__all__ = [
+    "plot_kernel_hyperparams", "plot_mixture_hyperparams", "plot_raw_data",
+    "plot_reconstructed_data2d", "plot_reconstructed_data3d",
+    "plot_exploration_results", "plot_inducing_points",
+    "plot_inducing_points_2d", "plot_inducing_points_3d", "plot_query_points",
+]
+
+_POS_COLORS = ['black', 'red', 'green', 'gray', 'orange', 'blue']
+
+
+def plot_kernel_hyperparams(hyperparams):
+    """Evolution of lengthscale/noise(/variance) vs training iteration
+    (reference gprutils.py:385-419)."""
+    if "weights" in hyperparams.keys():
+        plot_mixture_hyperparams(hyperparams)
+        return
+    has_var = 'variance' in hyperparams.keys() and \
+        len(np.asarray(hyperparams['variance']).reshape(-1)) > 0
+    if has_var:
+        _, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(16, 4))
+    else:
+        _, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    lines = ax1.plot(np.asarray(hyperparams['lengthscale']), linewidth=3)
+    ax1.set_title('lengthscale')
+    ax1.set_xlabel('training iteration')
+    ax1.set_ylabel('lengthscale (px)')
+    ax1.legend(lines, ('dim 1', 'dim 2', 'dim 3'))
+    ax2.plot(np.asarray(hyperparams['noise']), linewidth=3)
+    ax2.set_yscale('log')
+    ax2.set_title('noise')
+    ax2.set_xlabel('training iteration')
+    ax2.set_ylabel('noise (px)')
+    plt.subplots_adjust(wspace=.5)
+    if has_var:
+        ax3.plot(np.asarray(hyperparams['variance']), linewidth=3)
+        ax3.set_yscale('log')
+        ax3.set_title('variance')
+        ax3.set_xlabel('training iteration')
+        ax3.set_ylabel('variance (px)')
+    plt.show()
+
+
+def plot_mixture_hyperparams(hyperparams):
+    """Spectral-mixture component means/scales/weights evolution
+    (reference gprutils.py:422-482; 2D data only)."""
+    means = np.asarray(hyperparams["means"])
+    scales = np.asarray(hyperparams["scales"])
+    weights = np.asarray(hyperparams["weights"])
+    noise = np.asarray(hyperparams["noise"])
+    maxdim = hyperparams["maxdim"]
+    if means.shape[-1] != 2:
+        raise NotImplementedError(
+            "Currently supports plotting only for 2D cases")
+    print("Mixture (final) weights:")
+    for i, w in enumerate(weights[-1]):
+        print("Component {}: w = {}".format(
+            i, np.float64(w).round(5)))
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(21, 6))
+    q = means.shape[1]
+    for it in range(len(means)):
+        lab1 = "x coordinate" if it == len(means) - 1 else None
+        lab2 = "y coordinate" if it == len(means) - 1 else None
+        ax1.scatter(np.tile(it, q), means[it, :, 0], s=18,
+                    c=np.arange(q), cmap='jet', label=lab1)
+        ax1.scatter(np.tile(it, q), means[it, :, 1], s=18, marker='x',
+                    c=np.arange(q), cmap='jet', label=lab2)
+        ax2.scatter(np.tile(it, q), scales[it, :, 0], s=18,
+                    c=np.arange(q), cmap='jet', label=lab1)
+        ax2.scatter(np.tile(it, q), scales[it, :, 1], s=18, marker='x',
+                    c=np.arange(q), cmap='jet', label=lab2)
+    ax1.set_xlabel("Iteration", fontsize=14)
+    ax1.set_ylabel("Mixture mean/period (px)", fontsize=14)
+    ax1.set_title("Mixtures mean (period)", fontsize=14)
+    ax1.legend()
+    ax2.set_xlabel("Iteration", fontsize=14)
+    ax2.set_ylabel("Mixture scale (px)", fontsize=14)
+    ax2.set_title("Mixtures scales", fontsize=14)
+    ax2.legend()
+    ax3.plot(noise, linewidth=3)
+    ax3.set_ylabel("noise (px)", fontsize=14)
+    ax3.set_xlabel("Iteration", fontsize=14)
+    ax3.set_title("noise", fontsize=14)
+    ax1.set_ylim(0, maxdim)
+    ax2.set_ylim(0, maxdim)
+    clrbar = np.linspace(1, q).reshape(-1, 1)
+    ax_ = fig.add_axes([.36, -.12, .3, .8])
+    img = plt.imshow(clrbar, cmap='jet')
+    plt.gca().set_visible(False)
+    cb = plt.colorbar(img, ax=ax_, orientation='horizontal')
+    cb.set_label('Mixture component', fontsize=14, labelpad=10)
+    plt.show()
+
+
+def plot_raw_data(raw_data, slice_number, pos,
+                  spec_window=2, norm=False, **kwargs):
+    """2D energy-integrated slice + selected spectroscopic curves
+    (reference gprutils.py:485-536)."""
+    cmap = kwargs.get('cmap', 'magma')
+    z_vec = kwargs.get('z_vec')
+    z_vec_label = kwargs.get('z_vec_label')
+    z_vec_units = kwargs.get('z_vec_units')
+    z_vec = np.arange(raw_data.shape[-1]) if z_vec is None else z_vec
+    s, spw = slice_number, spec_window
+    _, ax = plt.subplots(1, 2, figsize=(10, 4.5))
+    ax[0].imshow(np.sum(raw_data[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
+    for p, col in zip(pos, _POS_COLORS):
+        ax[0].scatter(p[1], p[0], c=col)
+        ax[1].plot(z_vec, raw_data[p[0], p[1], :], c=col)
+    ax[1].axvspan(z_vec[s - spw], z_vec[s + spw], linestyle='--', alpha=.2)
+    if norm:
+        ax[1].set_ylim(-0.1, 1.1)
+    if z_vec_label is not None and z_vec_units is not None:
+        ax[1].set_xlabel(z_vec_label + ', ' + z_vec_units)
+        ax[1].set_ylabel('Response (arb. units)')
+    ax[0].set_title('Grid spectroscopy data')
+    ax[1].set_title('Individual spectroscopic curves')
+    plt.subplots_adjust(wspace=.3)
+    plt.show()
+
+
+def plot_reconstructed_data2d(R, mean, save_fig=False, **kwargs):
+    """Input vs GP-reconstructed 2D image (reference gprutils.py:539-584)."""
+    if save_fig:
+        mdir = kwargs.get('savedir', 'Output')
+        os.makedirs(mdir, exist_ok=True)
+        fpath = kwargs.get('filepath')
+    sparsity = kwargs.get('sparsity')
+    cmap = kwargs.get('cmap', 'nipy_spectral')
+    e1, e2 = R.shape
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 6), dpi=100)
+    ax1.imshow(R, cmap=cmap, origin='lower')
+    ax2.imshow(np.asarray(mean).reshape(e1, e2), cmap=cmap, origin='lower')
+    if sparsity:
+        ax1.set_title('Corrupted input data\n{}% of observations removed'
+                      .format(sparsity * 100))
+    else:
+        ax1.set_title('Input data')
+    ax2.set_title('GP reconstruction')
+    if save_fig:
+        name = (os.path.basename(os.path.splitext(fpath)[0])
+                if fpath else 'reconstruction')
+        fig.savefig(os.path.join(mdir, name))
+    plt.show()
+
+
+def plot_reconstructed_data3d(R, mean, sd, slice_number, pos,
+                              spec_window=2, save_fig=False, **kwargs):
+    """Input vs reconstruction for 3D cubes: integrated slices and per-point
+    spectra with 2-sigma bands (reference gprutils.py:587-686)."""
+    if save_fig:
+        mdir = kwargs.get('savedir') or 'Output'
+        os.makedirs(mdir, exist_ok=True)
+        fpath = kwargs.get('filepath')
+    sparsity = kwargs.get('sparsity')
+    cmap = kwargs.get('cmap', 'nipy_spectral')
+    z_vec = kwargs.get('z_vec')
+    z_vec_label = kwargs.get('z_vec_label')
+    z_vec_units = kwargs.get('z_vec_units')
+    z_vec = np.arange(R.shape[-1]) if z_vec is None else z_vec
+    s, spw = slice_number, spec_window
+    e1, e2, e3 = R.shape
+    Rtest = np.asarray(mean).reshape(e1, e2, e3)
+    R_sd = np.asarray(sd).reshape(e1, e2, e3)
+    fig, ax = plt.subplots(2, 2, figsize=(14, 14))
+    ax[0, 0].imshow(np.sum(R[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
+    for p, col in zip(pos, _POS_COLORS):
+        ax[0, 0].scatter(p[1], p[0], c=col)
+        ax[0, 1].plot(z_vec, R[p[0], p[1], :], c=col)
+    ax[0, 1].axvspan(z_vec[s - spw], z_vec[s + spw],
+                     linestyle='--', alpha=.15)
+    ax[0, 1].set_ylim(-0.1, 1.1)
+    if z_vec_label is not None and z_vec_units is not None:
+        ax[0, 1].set_xlabel(z_vec_label + ', ' + z_vec_units)
+        ax[0, 1].set_ylabel('Response (arb. units)')
+    for _ax in (ax[0, 0], ax[0, 1]):
+        if sparsity:
+            _ax.set_title('Corrupted input data\n{}% of observations removed'
+                          .format(sparsity * 100))
+        else:
+            _ax.set_title('Input data')
+    ax[1, 0].imshow(np.sum(Rtest[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
+    for p, col in zip(pos, _POS_COLORS):
+        ax[1, 0].scatter(p[1], p[0], c=col)
+        ax[1, 1].plot(z_vec, Rtest[p[0], p[1], :], c=col)
+        ax[1, 1].fill_between(
+            z_vec,
+            Rtest[p[0], p[1], :] - 2.0 * R_sd[p[0], p[1], :],
+            Rtest[p[0], p[1], :] + 2.0 * R_sd[p[0], p[1], :],
+            color=col, alpha=0.15)
+    ax[1, 1].axvspan(z_vec[s - spw], z_vec[s + spw],
+                     linestyle='--', alpha=.15)
+    ax[1, 1].set_ylim(-0.1, 1.1)
+    if z_vec_label is not None and z_vec_units is not None:
+        ax[1, 1].set_xlabel(z_vec_label + ', ' + z_vec_units)
+        ax[1, 1].set_ylabel('Response (arb. units)')
+    for _ax in (ax[1, 0], ax[1, 1]):
+        _ax.set_title('GPR reconstruction')
+    plt.subplots_adjust(hspace=.3)
+    if save_fig:
+        name = (os.path.basename(os.path.splitext(fpath)[0])
+                if fpath else 'reconstruction')
+        fig.savefig(os.path.join(mdir, name))
+    plt.show()
+
+
+def plot_exploration_results(R_all, mean_all, sd_all, R_true,
+                             episodes, slice_number, pos, dist_edge,
+                             spec_window=2, mask_predictions=False,
+                             **kwargs):
+    """Observations / reconstructions / uncertainties at selected
+    exploration episodes (reference gprutils.py:689-803)."""
+    s, spw = slice_number, spec_window
+    e1, e2, e3 = R_true.shape
+    z_vec = kwargs.get('z_vec')
+    z_vec_label = kwargs.get('z_vec_label')
+    z_vec_units = kwargs.get('z_vec_units')
+    z_vec = np.arange(e3) if z_vec is None else z_vec
+    _colors = ['black', 'red', 'green', 'blue', 'orange']
+    if not np.isnan(R_true).any() or np.unique(R_true).any():
+        _, ax = plt.subplots(1, 2, figsize=(7, 3), dpi=100)
+        ax[0].imshow(np.sum(R_true[:, :, s - spw:s + spw], axis=-1),
+                     cmap='jet')
+        for p, col in zip(pos, _colors):
+            ax[0].scatter(p[1], p[0], c=col)
+            ax[1].plot(z_vec, R_true[p[0], p[1], :], c=col)
+        ax[1].axvspan(z_vec[s - spw], z_vec[s + spw],
+                      linestyle='--', alpha=.2)
+        ax[1].set_ylim(-0.1, 1.1)
+        if z_vec_label is not None and z_vec_units is not None:
+            ax[1].set_xlabel(z_vec_label + ', ' + z_vec_units)
+            ax[1].set_ylabel('Response (arb. units)')
+        ax[0].set_title('Grid spectroscopy\n(ground truth)')
+        ax[1].set_title('Individual spectroscopic curves\n(ground truth)')
+
+    n = len(episodes) + 1
+    fig = plt.figure(figsize=(20, 17), dpi=100)
+    for i in range(1, n):
+        Rcurr = np.asarray(R_all[episodes[i - 1]]).reshape(e1, e2, e3)
+        Rtest = np.asarray(mean_all[episodes[i - 1]]).reshape(e1, e2, e3)
+        R_sd = np.asarray(sd_all[episodes[i - 1]]).reshape(e1, e2, e3)
+
+        ax = fig.add_subplot(4, n, i)
+        ax.imshow(np.sum(Rcurr[:, :, s - spw:s + spw], axis=-1), cmap='jet')
+        ax.set_title('Observations (step {})'.format(episodes[i - 1]))
+
+        ax = fig.add_subplot(4, n, i + n)
+        Rplot = copy.deepcopy(np.sum(Rtest[:, :, s - spw:s + spw], axis=-1))
+        mask = np.zeros(Rplot.shape, bool)
+        mask[dist_edge[0]:e1 - dist_edge[0],
+             dist_edge[1]:e2 - dist_edge[1]] = True
+        if mask_predictions:
+            Rplot[~mask] = np.nan
+        ax.imshow(Rplot, cmap='jet')
+        for p, col in zip(pos, _colors):
+            ax.scatter(p[1], p[0], c=col)
+        ax.set_title('GPR reconstruction (step {})'.format(episodes[i - 1]))
+
+        ax = fig.add_subplot(4, n, i + 2 * n)
+        for p, col in zip(pos, _colors):
+            ax.plot(z_vec, Rtest[p[0], p[1], :], c=col)
+            ax.fill_between(
+                z_vec,
+                Rtest[p[0], p[1], :] - 2.0 * R_sd[p[0], p[1], :],
+                Rtest[p[0], p[1], :] + 2.0 * R_sd[p[0], p[1], :],
+                color=col, alpha=0.15)
+            ax.axvspan(z_vec[s - spw], z_vec[s + spw],
+                       linestyle='--', alpha=.15)
+        ax.set_ylim(-0.1, 1.1)
+        if z_vec_label is not None and z_vec_units is not None:
+            ax.set_xlabel(z_vec_label + ', ' + z_vec_units)
+            ax.set_ylabel('Response (arb. units)')
+        ax.set_title('GPR reconstruction (step {})'.format(episodes[i - 1]))
+
+        ax = fig.add_subplot(4, n, i + 3 * n)
+        sd_plot = np.sum(copy.deepcopy(R_sd), axis=-1)
+        sd_plot[~mask] = np.nan
+        ax.imshow(sd_plot, cmap='jet')
+        ax.set_title('Integrated uncertainty (step {})'
+                     .format(episodes[i - 1]))
+    plt.subplots_adjust(hspace=.4, wspace=.3)
+    plt.show()
+
+
+def plot_inducing_points(hyperparams, **kwargs):
+    """Dispatch 2D/3D inducing-point trajectory plots
+    (reference gprutils.py:806-816)."""
+    dims_ = np.asarray(hyperparams['inducing_points'][0]).shape[-1]
+    if dims_ == 2:
+        plot_inducing_points_2d(hyperparams, **kwargs)
+    elif dims_ == 3:
+        plot_inducing_points_3d(hyperparams, **kwargs)
+    else:
+        raise NotImplementedError('Supports only 2D and 3D datasets')
+
+
+def _ip_window(hyperparams, kwargs):
+    pts = np.asarray(hyperparams['inducing_points'])
+    plot_from = kwargs.get('plot_from') or 0
+    plot_to = kwargs.get('plot_to') or len(pts)
+    nth = kwargs.get('slice_step') or 1
+    return pts[plot_from:plot_to], nth
+
+
+def plot_inducing_points_2d(hyperparams, **kwargs):
+    """2D inducing-point trajectories colored by iteration
+    (reference gprutils.py:819-861)."""
+    pts, nth = _ip_window(hyperparams, kwargs)
+    fig = plt.figure(figsize=(20, 9))
+    ax = fig.add_subplot(121)
+    ax.set_xlabel('x coordinate (px)', fontsize=14)
+    ax.set_ylabel('y coordinate (px)', fontsize=14)
+    ax.set_title('Evolution of inducing points', fontsize=16)
+    ax.set_aspect('auto')
+    colors = plt.cm.jet(np.linspace(0, 1, len(pts)))
+    for xy, c in zip(pts, colors):
+        y, x = np.asarray(xy).T
+        ax.scatter(x[::nth], y[::nth], c=[c], s=.15)
+    clrbar = np.linspace(0, len(pts)).reshape(-1, 1)
+    ax2 = fig.add_axes([.42, .1, .1, .8])
+    img = plt.imshow(clrbar, cmap="jet")
+    plt.gca().set_visible(False)
+    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
+    cb.set_label('training iterations', fontsize=14, labelpad=10)
+    plt.show()
+
+
+def plot_inducing_points_3d(hyperparams, **kwargs):
+    """3D inducing-point trajectories colored by iteration
+    (reference gprutils.py:864-912)."""
+    pts, nth = _ip_window(hyperparams, kwargs)
+    fig = plt.figure(figsize=(22, 9))
+    ax = fig.add_subplot(121, projection='3d')
+    ax.view_init(20, 30)
+    ax.set_xlabel('x coordinate (px)', fontsize=14)
+    ax.set_ylabel('y coordinate (px)', fontsize=14)
+    ax.set_zlabel('frequency (px)', fontsize=14)
+    ax.set_title('Evolution of inducing points', fontsize=16)
+    ax.set_aspect('auto')
+    colors = plt.cm.jet(np.linspace(0, 1, len(pts)))
+    for xyz, c in zip(pts, colors):
+        x, y, z = np.asarray(xyz).T
+        ax.scatter(x[::nth], y[::nth], z[::nth], c=[c], s=.15)
+    clrbar = np.linspace(0, len(pts)).reshape(-1, 1)
+    ax2 = fig.add_axes([.37, .1, .1, .8])
+    img = plt.imshow(clrbar, cmap="jet")
+    plt.gca().set_visible(False)
+    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
+    cb.set_label('training iterations', fontsize=14, labelpad=10)
+    plt.show()
+
+
+def plot_query_points(inds_all, **kwargs):
+    """BO exploration path over the 2D grid (reference gprutils.py:915-938)."""
+    cmap = kwargs.get("cmap", "cool")
+    plot_lines = kwargs.get("plot_lines", False)
+    inds_all = np.array(inds_all)
+    cvals = np.arange(len(inds_all))
+    clrbar = np.linspace(0, len(inds_all)).reshape(-1, 1)
+    fig, ax1 = plt.subplots(1, 1, figsize=(6, 6))
+    ax1.scatter(inds_all[:, 1], inds_all[:, 0], c=cvals, cmap=cmap)
+    if plot_lines:
+        ax1.plot(inds_all[:, 1], inds_all[:, 0])
+    ax2 = fig.add_axes([.78, .1, .2, .8])
+    img = plt.imshow(clrbar, cmap)
+    plt.gca().set_visible(False)
+    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
+    cb.set_label('Exploration steps', fontsize=14, labelpad=10)
+    plt.show()
