@@ -43,6 +43,21 @@ _jax.config.update("jax_enable_x64", True)
 # Hot paths that can tolerate lower precision opt back down explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: GP programs recompile per data-shape bucket,
+# and on remote-compile TPU setups a cold compile costs tens of seconds -
+# caching across processes amortizes it to ~nothing.
+import os as _os
+
+if not _os.environ.get("GPIM_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/gpim_tpu_jax"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these options
+        pass
+
 from gpim_tpu import utils
 from gpim_tpu.gpreg.gpr import reconstructor
 from gpim_tpu.gpreg.skgpr import skreconstructor

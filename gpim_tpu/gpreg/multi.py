@@ -1,0 +1,289 @@
+"""
+Multi-output GP engine: vmapped independent channels and Kronecker multitask.
+
+Replaces the reference's GPyTorch machinery (vgpr.py:286-354):
+
+- independent mode ("parallel GP", ivgprmodel vgpr.py:320-354): one exact GP
+  per output channel with per-task constant mean, outputscale, ARD
+  lengthscales and noise, all trained jointly. Here this is a single
+  ``vmap`` over the task axis of the masked exact MLL - on TPU the batched
+  Cholesky/solves run as one fused program, and the task axis is the natural
+  ``shard_map`` axis for multi-chip scaling (gpim_tpu/parallel).
+- correlated mode (vgprmodel vgpr.py:286-317, MultitaskKernel Kronecker
+  structure K_x (x) B with a low-rank-plus-diagonal task covariance B):
+  instead of GPyTorch's lazy-tensor algebra, the task covariance is
+  eigendecomposed (T x T, tiny) and the problem block-diagonalizes into T
+  independent n x n systems lambda_t K_x + sigma^2 I solved by one batched
+  Cholesky - O(T n^3) instead of O((nT)^3), in closed form.
+
+Prediction is closed-form mean/sd (the reference's 100x rsample Monte-Carlo
+loop, vgpr.py:218-225, only ever approximates these); a sampling path is
+kept for API parity via the ``n_samples`` kwarg.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from gpim_tpu.kernels.functional import get_kernel_fn, kernel_diag
+from gpim_tpu.kernels.transforms import (
+    interval_forward, interval_log_jacobian, positive_forward)
+
+__all__ = [
+    "train_independent", "predict_independent",
+    "train_correlated", "predict_correlated",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+# --------------------------------------------------------------------------
+# shared pieces
+# --------------------------------------------------------------------------
+
+def _constrain_task(u, bounds):
+    """Per-task parameters: interval lengthscale, positive outputscale /
+    noise, unconstrained constant mean (GPyTorch ConstantMean parity)."""
+    return {
+        "lengthscale": interval_forward(
+            u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
+        "variance": positive_forward(u["outputscale"]),
+        "noise": positive_forward(u["noise"]),
+        "mean": u["mean"],
+    }
+
+
+def _masked_gram(kfn, p, X, mask, jitter):
+    K = kfn(p, X, X)
+    mm = mask[:, None] * mask[None, :]
+    eye = jnp.eye(X.shape[0], dtype=X.dtype)
+    return mm * (K + (p["noise"] + jitter) * eye) + (1.0 - mask) * eye
+
+
+def _task_mll(p, X, yt, mask, jitter, kernel):
+    """Masked exact MLL of one output channel (with constant mean)."""
+    kfn = get_kernel_fn(kernel)
+    A = _masked_gram(kfn, p, X, mask, jitter)
+    L = jnp.linalg.cholesky(A)
+    ym = (yt - p["mean"]) * mask
+    alpha = cho_solve((L, True), ym)
+    n_eff = jnp.sum(mask)
+    return (0.5 * jnp.dot(ym, alpha)
+            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+            + 0.5 * n_eff * _LOG_2PI)
+
+
+# --------------------------------------------------------------------------
+# independent ("parallel") multi-output GP
+# --------------------------------------------------------------------------
+
+def _iv_loss(u, X, Y, mask, bounds, jitter, *, kernel):
+    """Sum of per-task masked MLLs; all per-task params vmapped at once."""
+
+    def one(ut, yt):
+        p = _constrain_task(ut, bounds)
+        return _task_mll(p, X, yt, mask, jitter, kernel)
+
+    nll = jnp.sum(jax.vmap(one, in_axes=(0, 1))(u, Y))
+    ls_jac = jax.vmap(
+        lambda l: interval_log_jacobian(l, bounds["ls_lo"], bounds["ls_hi"])
+    )(u["lengthscale"])
+    return nll - jnp.sum(ls_jac)
+
+
+@partial(jax.jit, static_argnames=("kernel", "iterations"))
+def train_independent(u0, X, Y, mask, bounds, lr, jitter, *,
+                      kernel, iterations):
+    """Joint Adam training of all channels (one lax.scan program)."""
+    import optax
+    opt = optax.adam(learning_rate=lr)
+    opt_state = opt.init(u0)
+
+    def step(carry, _):
+        u, opt_state = carry
+        loss, g = jax.value_and_grad(
+            partial(_iv_loss, kernel=kernel))(u, X, Y, mask, bounds, jitter)
+        updates, opt_state = opt.update(g, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        rec = {
+            "lengthscale": interval_forward(
+                u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
+            "noise": positive_forward(u["noise"]),
+            "outputscale": positive_forward(u["outputscale"]),
+            "loss": loss,
+        }
+        return (u, opt_state), rec
+
+    (u_final, _), traj = jax.lax.scan(
+        step, (u0, opt_state), None, length=iterations)
+    return u_final, traj
+
+
+@partial(jax.jit, static_argnames=("kernel", "noiseless"))
+def predict_independent(u, X, Y, mask, bounds, jitter, Xtest_chunks, *,
+                        kernel, noiseless=False):
+    """Closed-form per-channel predictive mean/variance, chunk-batched.
+
+    Returns mean/var of shape (n_test, T).
+    """
+    kfn = get_kernel_fn(kernel)
+
+    def factorize(ut, yt):
+        p = _constrain_task(ut, bounds)
+        A = _masked_gram(kfn, p, X, mask, jitter)
+        L = jnp.linalg.cholesky(A)
+        alpha = cho_solve((L, True), (yt - p["mean"]) * mask)
+        return p, L, alpha
+
+    ps, Ls, alphas = jax.vmap(factorize, in_axes=(0, 1))(u, Y)
+
+    def one_chunk(xc):
+        def one_task(p, L, alpha):
+            Ks = kfn(p, xc, X) * mask[None, :]
+            mean = Ks @ alpha + p["mean"]
+            V = solve_triangular(L, Ks.T, lower=True)
+            var = kernel_diag(kernel, p, xc) - jnp.sum(V * V, axis=0)
+            if not noiseless:
+                var = var + p["noise"]
+            return mean, jnp.maximum(var, 0.0)
+
+        m, v = jax.vmap(one_task)(ps, Ls, alphas)
+        return m.T, v.T  # (chunk, T)
+
+    means, variances = jax.lax.map(one_chunk, Xtest_chunks)
+    T = means.shape[-1]
+    return means.reshape(-1, T), variances.reshape(-1, T)
+
+
+# --------------------------------------------------------------------------
+# correlated multitask GP (Kronecker K_x (x) B)
+# --------------------------------------------------------------------------
+
+def _constrain_corr(u, bounds):
+    p = {
+        "lengthscale": interval_forward(
+            u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
+        "variance": jnp.asarray(1.0, u["noise"].dtype),  # absorbed into B
+        "noise": positive_forward(u["noise"]),
+        "mean": u["mean"],                               # (T,) task means
+        "F": u["F"],                                     # (T, rank) factor
+        "task_var": positive_forward(u["task_var"]),     # (T,) diagonal
+    }
+    return p
+
+
+def _task_cov(p):
+    """B = F F^T + diag(v), GPyTorch IndexKernel parametrization."""
+    return (p["F"] @ p["F"].T + jnp.diag(p["task_var"]))
+
+
+def _corr_factorize(u, X, Y, bounds, jitter, kernel):
+    """Eigendecompose B, rotate Y, batch-factorize the T decoupled systems."""
+    kfn = get_kernel_fn(kernel)
+    p = _constrain_corr(u, bounds)
+    B = _task_cov(p)
+    lam_b, Qb = jnp.linalg.eigh(B)
+    lam_b = jnp.maximum(lam_b, 1e-12)
+    Kx = kfn(p, X, X)
+    n = X.shape[0]
+    eye = jnp.eye(n, dtype=X.dtype)
+    Yc = (Y - p["mean"][None, :]) @ Qb          # (n, T) rotated targets
+
+    def factor_one(lam, yt):
+        A = lam * Kx + (p["noise"] + jitter) * eye
+        L = jnp.linalg.cholesky(A)
+        alpha = cho_solve((L, True), yt)
+        return L, alpha
+
+    Ls, alphas = jax.vmap(factor_one, in_axes=(0, 1))(lam_b, Yc)
+    return p, Kx, lam_b, Qb, Ls, alphas, Yc
+
+
+def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
+    """Dense Kronecker MLL for training.
+
+    The eigh(B) rotation used at prediction time has unstable *gradients*
+    when task-covariance eigenvalues collide (the rank-1 + diagonal init has
+    T-1 exactly repeated eigenvalues, so d eigh terms 1/(lam_i - lam_j) blow
+    up); Cholesky of the materialized (nT x nT) system has smooth gradients
+    and is cheap at the problem sizes vgpr targets (n*T of a few thousand).
+    """
+    kfn = get_kernel_fn(kernel)
+    p = _constrain_corr(u, bounds)
+    n, T = Y.shape
+    B = _task_cov(p)
+    Kx = kfn(p, X, X)
+    Kbig = (Kx[:, None, :, None] * B[None, :, None, :]).reshape(n * T, n * T)
+    A = Kbig + (p["noise"] + jitter) * jnp.eye(n * T, dtype=X.dtype)
+    L = jnp.linalg.cholesky(A)
+    yc = (Y - p["mean"][None, :]).reshape(-1)
+    alpha = cho_solve((L, True), yc)
+    nll = (0.5 * jnp.dot(yc, alpha)
+           + jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * n * T * _LOG_2PI)
+    return nll - interval_log_jacobian(
+        u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"])
+
+
+@partial(jax.jit, static_argnames=("kernel", "iterations"))
+def train_correlated(u0, X, Y, bounds, lr, jitter, *, kernel, iterations):
+    import optax
+    opt = optax.adam(learning_rate=lr)
+    opt_state = opt.init(u0)
+
+    def step(carry, _):
+        u, opt_state = carry
+        loss, g = jax.value_and_grad(
+            partial(_corr_loss, kernel=kernel))(u, X, Y, bounds, jitter)
+        updates, opt_state = opt.update(g, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        rec = {
+            "lengthscale": interval_forward(
+                u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
+            "noise": positive_forward(u["noise"]),
+            "loss": loss,
+        }
+        return (u, opt_state), rec
+
+    (u_final, _), traj = jax.lax.scan(
+        step, (u0, opt_state), None, length=iterations)
+    return u_final, traj
+
+
+@partial(jax.jit, static_argnames=("kernel", "noiseless"))
+def predict_correlated(u, X, Y, bounds, jitter, Xtest_chunks, *,
+                       kernel, noiseless=False):
+    """Closed-form multitask predictive mean/variance.
+
+    In the rotated task basis the posterior decouples:
+    f~_t(x*) ~ N(lam_t k*^T A_t^{-1} y~_t,
+                 lam_t k** - lam_t^2 k*^T A_t^{-1} k*);
+    rotating back, Var(f_task) = sum_t Qb[task, t]^2 var~_t.
+    """
+    kfn = get_kernel_fn(kernel)
+    p, Kx, lam_b, Qb, Ls, alphas, Yc = _corr_factorize(
+        u, X, Y, bounds, jitter, kernel)
+
+    def one_chunk(xc):
+        Ks = kfn(p, xc, X)                       # (chunk, n)
+        kss = kernel_diag(kernel, p, xc)
+
+        def one_rot(lam, L, alpha):
+            mean = lam * (Ks @ alpha)
+            V = solve_triangular(L, Ks.T, lower=True)
+            var = lam * kss - lam ** 2 * jnp.sum(V * V, axis=0)
+            return mean, jnp.maximum(var, 0.0)
+
+        m_rot, v_rot = jax.vmap(one_rot)(lam_b, Ls, alphas)  # (T, chunk)
+        mean = (Qb @ m_rot).T + p["mean"][None, :]           # (chunk, T)
+        var = ((Qb ** 2) @ v_rot).T
+        if not noiseless:
+            var = var + p["noise"]
+        return mean, var
+
+    means, variances = jax.lax.map(one_chunk, Xtest_chunks)
+    T = means.shape[-1]
+    return means.reshape(-1, T), variances.reshape(-1, T)
