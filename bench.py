@@ -1,0 +1,80 @@
+"""
+Flagship benchmark: 128x128 sparse-spiral PFM exact-GP reconstruction
+(BASELINE.md config #1 - RBF kernel, 250 Adam iterations on the exact MLL,
+dense mean+sd prediction over the full 16384-point grid).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value = wall-clock seconds for train(250)+predict, measured WARM (the
+program is run twice and the second run is timed; the persistent XLA
+compilation cache makes subsequent cold processes warm too).
+
+vs_baseline = baseline_seconds / value (higher is better). The reference
+publishes no numbers and its Pyro/GPyTorch engines are not installed here
+(BASELINE.md), so the baseline is a reference-equivalent torch float64 exact
+GP (same data, objective, optimizer, iteration count; dense Cholesky MLL +
+chunked prediction) measured on this machine's CPU - see
+benchmarks/torch_baseline.py. Measured: 212.0 s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# reference-equivalent torch CPU float64 measurement (benchmarks/torch_baseline.py)
+BASELINE_SECONDS = 212.0
+
+DATA = "/root/reference/expdata/spiral_s_00010_2019.npy"
+
+
+def load_spiral():
+    img = np.load(DATA)
+    vals, counts = np.unique(img, return_counts=True)
+    R = img.copy()
+    R[R == vals[np.argmax(counts)]] = np.nan
+    R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
+    return R
+
+
+def run_once(R, X, X_true, iterations=250):
+    from gpim_tpu import reconstructor
+    model = reconstructor(X, R, X_true, kernel="RBF",
+                          iterations=iterations, verbose=0,
+                          precision="single")
+    t0 = time.time()
+    mean, sd, _ = model.run()
+    elapsed = time.time() - t0
+    return elapsed, mean, sd
+
+
+def main():
+    import gpim_tpu  # noqa: F401  (configures precision/cache)
+    from gpim_tpu import utils
+
+    R = load_spiral()
+    X = utils.get_sparse_grid(R)
+    X_true = utils.get_full_grid(R)
+
+    _cold, mean, sd = run_once(R, X, X_true)
+    warm, mean, sd = run_once(R, X, X_true)
+
+    obs = ~np.isnan(R)
+    rmse = float(np.sqrt(np.mean((mean[obs] - R[obs]) ** 2)))
+    assert not np.isnan(mean).any() and not np.isnan(sd).any()
+    assert rmse < 0.1, "reconstruction quality regressed: rmse=%f" % rmse
+
+    print(json.dumps({
+        "metric": "spiral128_exactgp_recon_wall",
+        "value": round(warm, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / warm, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

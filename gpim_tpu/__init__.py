@@ -48,7 +48,13 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # caching across processes amortizes it to ~nothing.
 import os as _os
 
-if not _os.environ.get("GPIM_TPU_NO_COMPILE_CACHE"):
+_platforms = (getattr(_jax.config, "jax_platforms", None)
+              or _os.environ.get("JAX_PLATFORMS", ""))
+_accel = bool(_platforms) and "cpu" not in str(_platforms).split(",")
+
+# Only cache accelerator executables: XLA:CPU AOT artifacts are machine-
+# feature specific and a shared cache dir risks SIGILL on other hosts.
+if _accel and not _os.environ.get("GPIM_TPU_NO_COMPILE_CACHE"):
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/gpim_tpu_jax"))

@@ -1,0 +1,73 @@
+"""
+Multi-chip sharding tests on the virtual 8-device CPU mesh.
+"""
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+import jax
+
+
+def test_dryrun_multichip_8():
+    """The driver's multi-chip validation path must compile and execute."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    mean, var = fn(*args)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(var)).all()
+
+
+def test_sharded_matches_single_device():
+    """Sharded multitask training must produce the same numbers as the
+    unsharded program (sharding is a layout, not a math change)."""
+    from gpim_tpu.parallel import multichip
+    from gpim_tpu.gpreg import multi
+    from gpim_tpu.kernels.transforms import positive_inverse
+    import jax.numpy as jnp
+
+    T, n, d = 4, 32, 2
+    rng = np.random.RandomState(1)
+    X = jnp.asarray(rng.rand(n, d), jnp.float64)
+    Y = jnp.asarray(rng.rand(n, T), jnp.float64)
+    mask = jnp.ones((n,))
+    bounds = {"ls_lo": jnp.zeros((d,)), "ls_hi": jnp.full((d,), 4.0)}
+    one = jnp.asarray(1.0, jnp.float64)
+    u = {
+        "lengthscale": jnp.zeros((T, d)),
+        "outputscale": jnp.full((T,), positive_inverse(one)),
+        "noise": jnp.full((T,), positive_inverse(one)),
+        "mean": jnp.zeros((T,)),
+    }
+    lr = jnp.asarray(0.05)
+    jit = jnp.asarray(1e-8)
+    u1, traj1 = multi.train_independent(
+        u, X, Y, mask, bounds, lr, jit, kernel="RBF", iterations=3)
+
+    mesh = multichip.make_mesh_2d(4, task_axis=4)
+    with mesh:
+        u_sh, X_sh, Y_sh, mask_sh = multichip.shard_multitask(
+            u, X, Y, mask, mesh)
+        u2, traj2 = multichip.train_step_sharded(
+            u_sh, X_sh, Y_sh, mask_sh, bounds, lr, jit,
+            kernel="RBF", iterations=3)
+    assert_allclose(np.asarray(traj1["loss"]), np.asarray(traj2["loss"]),
+                    rtol=1e-9)
+    assert_allclose(np.asarray(u1["lengthscale"]),
+                    np.asarray(u2["lengthscale"]), rtol=1e-9)
+
+
+def test_mesh_shapes():
+    from gpim_tpu.parallel import multichip
+    mesh = multichip.make_mesh_2d(8)
+    assert mesh.shape["task"] * mesh.shape["grid"] == 8
+    mesh = multichip.make_mesh_2d(8, task_axis=8)
+    assert mesh.shape["task"] == 8 and mesh.shape["grid"] == 1
