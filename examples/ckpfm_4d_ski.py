@@ -1,0 +1,36 @@
+"""
+4D cKPFM reconstruction with the structured (SKI) GP
+(reference recipe: GP_TD_cKPFM.ipynb - full 10x10x64x5 grid, Matern52,
+prediction on a 2x denser grid).
+
+Usage: python examples/ckpfm_4d_ski.py
+"""
+
+import numpy as np
+
+import gpim_tpu
+from gpim_tpu import utils, skreconstructor
+
+NPZ = "/root/reference/expdata/cKPFM loop_0001 10 x 10-proc.npz"
+
+
+def main():
+    d = np.load(NPZ)
+    R = (d["Nd_mat_amp"] * np.cos(d["Nd_mat_phase"]))[..., 1, :, :]
+    R = (R - R.min()) / np.ptp(R)
+    X = utils.get_full_grid(R)
+
+    model = skreconstructor(
+        X, R, X, kernel="Matern52", ski=True,
+        grid_points_ratio=1.0, lengthscale=[1.0, 3.0],
+        iterations=50, verbose=2)
+    mean, sd, hyperparams = model.run()
+
+    # super-resolution pass
+    X2 = utils.get_full_grid(R, dense_x=0.5)
+    mean2x, sd2x = model.predict(X2)
+    print("2x-dense reconstruction:", mean2x.shape)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""
+3D hyperspectral reconstruction with an inducing-point sparse GP
+(reference recipe: GP_BEPFM.ipynb with the bundled 32x32x102 BEPFM cube,
+70.6% of spectra removed).
+
+Usage: python examples/hyperspectral_3d_sparse.py
+"""
+
+import numpy as np
+
+import gpim_tpu
+from gpim_tpu import utils, reconstructor
+
+CUBE = "/root/reference/expdata/bepfm_test_data_sparse.npy"
+TRUTH = "/root/reference/expdata/bepfm_test_data.npy"
+
+
+def main():
+    R = np.load(CUBE)                       # NaN-sparse (32, 32, 102)
+    X = utils.get_sparse_grid(R)
+    X_full = utils.get_full_grid(R)
+
+    model = reconstructor(
+        X, R, X_full, kernel="Matern52",
+        sparse=True, indpoints=1000,        # VFE with trainable Xu
+        learning_rate=0.05, iterations=400, verbose=2)
+    mean, sd, hyperparams = model.run()
+
+    try:
+        truth = np.load(TRUTH)
+        print("mean abs error vs ground truth:",
+              float(np.abs(mean - truth).mean()))
+    except OSError:
+        pass
+    utils.plot_reconstructed_data3d(np.nan_to_num(R), mean, sd,
+                                    slice_number=50, pos=[[5, 10], [20, 25]])
+
+
+if __name__ == "__main__":
+    main()

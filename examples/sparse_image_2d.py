@@ -1,0 +1,44 @@
+"""
+2D sparse image reconstruction with an exact GP (the flagship workflow;
+reference recipe: README.md:42-66 and GP_sparse2Dimages.ipynb).
+
+Usage: python examples/sparse_image_2d.py [path/to/image.npy]
+Missing pixels must be NaN (or pass a dense image and corrupt it below).
+"""
+
+import sys
+
+import numpy as np
+
+import gpim_tpu
+from gpim_tpu import utils, reconstructor
+
+
+def main():
+    if len(sys.argv) > 1:
+        R = np.load(sys.argv[1])
+        if not np.isnan(R).any():
+            # treat the most frequent value as "unmeasured" (spiral scans)
+            vals, counts = np.unique(R, return_counts=True)
+            R[R == vals[np.argmax(counts)]] = np.nan
+    else:
+        # synthetic demo: corrupt a smooth image
+        xx, yy = np.meshgrid(np.arange(0, 100, 1.0), np.arange(0, 100, 1.0))
+        R_true = np.exp(-((xx - 40) ** 2 + (yy - 60) ** 2) / 500)
+        X_true = utils.get_full_grid(R_true)
+        _, R = utils.corrupt_data_xy(X_true, R_true, prob=0.7)
+
+    R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
+    X = utils.get_sparse_grid(R)       # NaN-marked grid indices
+    X_full = utils.get_full_grid(R)    # dense prediction grid
+
+    model = reconstructor(X, R, X_full, kernel="RBF",
+                          lengthscale=None, iterations=250, verbose=2)
+    mean, sd, hyperparams = model.run()
+
+    utils.plot_kernel_hyperparams(hyperparams)
+    utils.plot_reconstructed_data2d(R, mean)
+
+
+if __name__ == "__main__":
+    main()

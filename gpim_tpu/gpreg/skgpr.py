@@ -41,6 +41,9 @@ __all__ = ["skreconstructor"]
 
 _PAD_BUCKET = 128
 _PREDICT_CHUNK = 4096
+# below this many (padded) observations, dense exact GP is both faster on
+# TPU and exact - the structured SKI operator is a large-n scaling device
+_SKI_MIN_N = 8192
 
 
 class skreconstructor:
@@ -100,8 +103,11 @@ class skreconstructor:
                                else [[0.0] * input_dim, [lmean] * input_dim])
             lo, hi = lengthscale
             if np.ndim(lo) == 0:
-                lo = np.full((1,), lo, self.dtype)
-                hi = np.full((1,), hi, self.dtype)
+                # GPyTorch semantics: a scalar Interval broadcasts over the
+                # ARD dims (isotropic=True collapses to one lengthscale)
+                shape = (1,) if isotropic else (input_dim,)
+                lo = np.full(shape, lo, self.dtype)
+                hi = np.full(shape, hi, self.dtype)
             else:
                 lo, hi = np.asarray(lo, self.dtype), np.asarray(hi, self.dtype)
             self._bounds_np = {"ls_lo": lo, "ls_hi": hi}
@@ -120,6 +126,25 @@ class skreconstructor:
         self._set_data(X_np, y_np)
         self.hyperparams = {}
         self._traj_list = []
+
+        # structured (SKI) operator for large grids: grid interpolation +
+        # Kronecker MVMs + CG/SLQ (gpim_tpu/ops/ski.py), honoring
+        # grid_points_ratio and maxroot (reference skgpr.py:124-131,147)
+        self._ski_engine = None
+        min_n = int(kwargs.get("ski_min_points", _SKI_MIN_N))
+        if self.do_ski and self._Xd.shape[0] >= min_n:
+            from gpim_tpu.gpreg.ski_model import SKIEngine
+            from gpim_tpu.ops import ski as ski_ops
+            grids = ski_ops.choose_grid(
+                self.X, ratio=float(self.grid_points_ratio))
+            self._ski_engine = SKIEngine(
+                self.kernel_type, np.asarray(self._Xd),
+                np.asarray(self._maskd), grids,
+                cg_iters=int(kwargs.get("cg_iterations", 64)),
+                n_probes=int(kwargs.get("n_probes", 8)),
+                rank=int(self.maxroot), seed=seed)
+            if self.verbose == 2:
+                print("SKI grid:", self._ski_engine.grid_shape)
 
     def _set_data(self, X_np, y_np):
         self.X, self.y = X_np, y_np
@@ -152,6 +177,15 @@ class skreconstructor:
             self.u, traj = structured.train_spectral(
                 self.u, self._Xd, self._yd, self._maskd, lr, jit,
                 iterations=int(self.iterations))
+        elif self._ski_engine is not None:
+            u_ski = {k: v[0] for k, v in self.u.items()}
+            u_ski, traj = self._ski_engine.train(
+                u_ski, self._yd, self._maskd, self._bounds(), lr, jit,
+                iterations=int(self.iterations))
+            self.u = {k: v[None] for k, v in u_ski.items()}
+            traj = dict(traj)
+            traj["lengthscale"] = traj["lengthscale"][:, None, :]
+            traj["noise"] = traj["noise"][:, None]
         else:
             Y1 = self._yd[:, None]
             self.u, traj = multi.train_independent(
@@ -221,6 +255,12 @@ class skreconstructor:
             mean, var = structured.predict_spectral(
                 self.u, self._Xd, self._yd, self._maskd, jit,
                 jnp.asarray(chunks))
+        elif self._ski_engine is not None:
+            u_ski = {k: v[0] for k, v in self.u.items()}
+            mean, var = self._ski_engine.predict(
+                u_ski, self._yd, self._maskd, self._bounds(), jit,
+                Xtest_clean)
+            n_test = len(Xtest_clean)
         else:
             mean, var = multi.predict_independent(
                 self.u, self._Xd, self._yd[:, None], self._maskd,

@@ -90,8 +90,10 @@ class vreconstructor:
                            else [[0.0] * input_dim, [lmean] * input_dim])
         lo, hi = lengthscale
         if np.ndim(lo) == 0:
-            lo = np.full((1,), lo, self.dtype)
-            hi = np.full((1,), hi, self.dtype)
+            # GPyTorch semantics: scalar Interval broadcasts over ARD dims
+            shape = (1,) if isotropic else (input_dim,)
+            lo = np.full(shape, lo, self.dtype)
+            hi = np.full(shape, hi, self.dtype)
         else:
             lo = np.asarray(lo, self.dtype)
             hi = np.asarray(hi, self.dtype)

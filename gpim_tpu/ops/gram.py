@@ -19,11 +19,17 @@ __all__ = ["pairwise_sq_dist", "pairwise_dist"]
 def pairwise_sq_dist(X1, X2):
     """Pairwise squared Euclidean distances between rows of X1 and X2.
 
-    Uses the |a|^2 + |b|^2 - 2ab expansion (the -2ab term maps onto the MXU),
-    with mean-centering for numerical robustness in float32: grid coordinates
-    can be O(100) while relevant distances are O(1), and centering removes
-    most of the cancellation error of the expansion.
+    Dispatches to the fused Pallas tile kernel (ops/pallas_gram.py) when the
+    shapes qualify - one HBM pass, exact zeros at coincident points.
+    Otherwise uses the |a|^2 + |b|^2 - 2ab expansion (the -2ab term maps onto
+    the MXU) with mean-centering for numerical robustness in float32: grid
+    coordinates can be O(100) while relevant distances are O(1), and
+    centering removes most of the cancellation error of the expansion.
     """
+    from gpim_tpu.ops import pallas_gram
+    if pallas_gram.pallas_supported(
+            X1.shape[0], X2.shape[0], X1.shape[1], X1.dtype):
+        return pallas_gram.pairwise_sq_dist_pallas(X1, X2)
     center = jnp.mean(X1, axis=0, keepdims=True)
     a = X1 - center
     b = X2 - center
