@@ -100,6 +100,7 @@ class boptimizer:
         self._rng = np.random.RandomState(seed)
         self.indices_all, self.vals_all = [], []
         self.target_func_vals, self.gp_predictions = [y_seed.copy()], []
+        self.steps_done = 0
 
     # ------------------------------------------------------------------
 
@@ -261,14 +262,58 @@ class boptimizer:
             self.vals_all.extend(vals)
 
     def run(self):
-        """Run the full exploration loop with optional per-step checkpoints."""
-        for i in range(self.exploration_steps):
+        """Run the exploration loop (resumable - continues from steps_done
+        after load_checkpoint) with optional per-step checkpoints."""
+        for i in range(self.steps_done, self.exploration_steps):
             self.single_step(i)
+            self.steps_done = i + 1
             if self.save_checkpoints:
                 self.save_results()
+                self.save_checkpoint(self.filename + "_state")
         self.save_results()
         if self.verbose:
             print("\nExploration completed")
+
+    # ------------------------------------------------------------------
+    # resumable experiment state (the reference only np.saves result
+    # artifacts and has no resume path - SURVEY.md section 5)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, filename):
+        """Full resumable state: measurements, query history, RNG state and
+        the surrogate's trained (unconstrained) hyperparameters."""
+        state = {
+            "y_sparse": self.y_sparse,
+            "indices_all": self.indices_all,
+            "vals_all": self.vals_all,
+            "target_func_vals": self.target_func_vals,
+            "gp_predictions": self.gp_predictions,
+            "steps_done": self.steps_done,
+            "rng_state": self._rng.get_state(),
+            "surrogate_u": {k: np.asarray(v)
+                            for k, v in self.surrogate_model.u.items()},
+        }
+        np.save(str(filename) + ".npy", state, allow_pickle=True)
+
+    def load_checkpoint(self, filename):
+        """Restore state written by save_checkpoint; run() then continues
+        from the saved step."""
+        import jax.numpy as jnp
+        fname = str(filename)
+        if not fname.endswith(".npy"):
+            fname += ".npy"
+        state = np.load(fname, allow_pickle=True).item()
+        self.y_sparse = state["y_sparse"]
+        self.X_sparse = gridutils.get_sparse_grid(self.y_sparse, self.extent)
+        self.indices_all = list(state["indices_all"])
+        self.vals_all = list(state["vals_all"])
+        self.target_func_vals = list(state["target_func_vals"])
+        self.gp_predictions = list(state["gp_predictions"])
+        self.steps_done = int(state["steps_done"])
+        self._rng.set_state(state["rng_state"])
+        self.surrogate_model.u = {
+            k: jnp.asarray(v) for k, v in state["surrogate_u"].items()}
+        self.surrogate_model.update_data(self.X_sparse, self.y_sparse)
 
     def save_results(self, *args):
         """np.save a dict of {gp_pred, func_val, inds_all, vals_all}

@@ -27,6 +27,7 @@ import warnings
 
 import numpy as np
 import jax.numpy as jnp
+from jax import block_until_ready as jax_block
 
 from gpim_tpu import dtypes
 from gpim_tpu.gpreg import engine
@@ -167,6 +168,8 @@ class reconstructor:
         self._set_data(X_np, y_np)
         self.hyperparams = {}
         self._traj_list = []
+        from gpim_tpu.utils.profiling import Timer
+        self.timer = Timer()
 
     # ------------------------------------------------------------------
     # data plumbing
@@ -210,18 +213,31 @@ class reconstructor:
         start_time = time.time()
         if self.verbose:
             print('Model training...')
-        u, traj = engine.train(
-            self.u, self._Xd, self._yd, self._maskd, self._bounds(),
-            jnp.asarray(self.learning_rate, self.dtype),
-            jnp.asarray(self.jitter, self.dtype),
-            kernel=self.kernel_type,
-            iterations=int(self.iterations),
-            sparse=self.do_sparse)
+        with self.timer.phase("train"):
+            u, traj = engine.train(
+                self.u, self._Xd, self._yd, self._maskd, self._bounds(),
+                jnp.asarray(self.learning_rate, self.dtype),
+                jnp.asarray(self.jitter, self.dtype),
+                kernel=self.kernel_type,
+                iterations=int(self.iterations),
+                sparse=self.do_sparse)
+            jax_block(u)
         self.u = u
         traj = {k: np.asarray(v) for k, v in traj.items()}
         self._traj_list.append(traj)
         self._assemble_hyperparams()
         elapsed = time.time() - start_time
+        if self.verbose == 2:
+            # per-iteration progress lines (reference gpr.py:200-205 prints
+            # these live; the scan runs on-device, so they print after)
+            for i in range(0, int(self.iterations), 100):
+                print('iter: {} ...'.format(i),
+                      'loss: {} ...'.format(np.around(traj["loss"][i], 4)),
+                      'amp: {} ...'.format(
+                          np.around(traj["variance"][i], 4)),
+                      'length: {} ...'.format(
+                          np.around(traj["lengthscale"][i], 4)),
+                      'noise: {} ...'.format(np.around(traj["noise"][i], 7)))
         if self.verbose:
             print('training completed in {} s'.format(np.round(elapsed, 2)))
             print('Final parameter values:\n',
@@ -273,6 +289,8 @@ class reconstructor:
             self.verbose = kwargs.get("verbose")
         if self.verbose:
             print("Calculating predictive mean and variance...", end=" ")
+        timer_cm = self.timer.phase("predict")
+        timer_cm.__enter__()
         # NaN coordinates (e.g. the sparse grids fed to EI/POI acquisition)
         # must yield NaN predictions, as in the reference's torch path; the
         # device computation runs on NaN-cleaned coordinates and the NaN
@@ -293,9 +311,39 @@ class reconstructor:
         sd[nan_rows] = np.nan
         mean = mean.reshape(self.fulldims)
         sd = sd.reshape(self.fulldims)
+        timer_cm.__exit__(None, None, None)
         if self.verbose:
             print("Done")
         return mean, sd
+
+    # ------------------------------------------------------------------
+    # model checkpointing (absent in the reference - SURVEY.md section 5:
+    # "No model-weight checkpointing, no resume path anywhere")
+    # ------------------------------------------------------------------
+
+    def save_model(self, filename):
+        """Persist trained hyperparameters (unconstrained pytree + bounds)
+        to an .npz; restore with load_model on a compatibly-constructed
+        reconstructor."""
+        flat = {("u_" + k): np.asarray(v) for k, v in self.u.items()}
+        flat.update({("b_" + k): np.asarray(v)
+                     for k, v in self._bounds_np.items()})
+        flat["kernel"] = np.asarray(self.kernel_type)
+        flat["sparse"] = np.asarray(self.do_sparse)
+        np.savez(filename, **flat)
+
+    def load_model(self, filename):
+        """Restore hyperparameters saved by save_model."""
+        data = np.load(filename if str(filename).endswith(".npz")
+                       else str(filename) + ".npz", allow_pickle=False)
+        if str(data["kernel"]) != self.kernel_type or \
+                bool(data["sparse"]) != self.do_sparse:
+            raise ValueError(
+                "checkpoint was written by a different model configuration")
+        self.u = {k[2:]: jnp.asarray(v) for k, v in data.items()
+                  if k.startswith("u_")}
+        self._bounds_np = {k[2:]: np.asarray(v) for k, v in data.items()
+                           if k.startswith("b_")}
 
     # ------------------------------------------------------------------
     # combined flows
