@@ -112,9 +112,10 @@ def exact_loss(u, X, y, mask, bounds, jitter, *, kernel):
     A = _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
     L = jnp.linalg.cholesky(A)
     ym = y * mask
-    alpha = cho_solve((L, True), ym)
+    # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
+    z = solve_triangular(L, ym, lower=True)
     n_eff = jnp.sum(mask)
-    nll = (0.5 * jnp.dot(ym, alpha)
+    nll = (0.5 * jnp.dot(z, z)
            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
            + 0.5 * n_eff * _LOG_2PI)
     return nll - _log_jacobian(u, bounds)

@@ -69,9 +69,10 @@ def _task_mll(p, X, yt, mask, jitter, kernel):
     A = _masked_gram(kfn, p, X, mask, jitter)
     L = jnp.linalg.cholesky(A)
     ym = (yt - p["mean"]) * mask
-    alpha = cho_solve((L, True), ym)
+    # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
+    z = solve_triangular(L, ym, lower=True)
     n_eff = jnp.sum(mask)
-    return (0.5 * jnp.dot(ym, alpha)
+    return (0.5 * jnp.dot(z, z)
             + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
             + 0.5 * n_eff * _LOG_2PI)
 
@@ -220,8 +221,9 @@ def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
     A = Kbig + (p["noise"] + jitter) * jnp.eye(n * T, dtype=X.dtype)
     L = jnp.linalg.cholesky(A)
     yc = (Y - p["mean"][None, :]).reshape(-1)
-    alpha = cho_solve((L, True), yc)
-    nll = (0.5 * jnp.dot(yc, alpha)
+    # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
+    z = solve_triangular(L, yc, lower=True)
+    nll = (0.5 * jnp.dot(z, z)
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n * T * _LOG_2PI)
     return nll - interval_log_jacobian(

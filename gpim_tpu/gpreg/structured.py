@@ -77,9 +77,10 @@ def _sm_loss(u, X, y, mask, jitter):
     A = _sm_system(p, X, mask, jitter)
     L = jnp.linalg.cholesky(A)
     ym = (y - p["mean"]) * mask
-    alpha = cho_solve((L, True), ym)
+    # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
+    z = solve_triangular(L, ym, lower=True)
     n_eff = jnp.sum(mask)
-    return (0.5 * jnp.dot(ym, alpha)
+    return (0.5 * jnp.dot(z, z)
             + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
             + 0.5 * n_eff * _LOG_2PI)
 

@@ -30,14 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pairwise_sq_dist_pallas", "pallas_supported"]
 
-_TILE_M = 256
-_TILE_N = 256
+# 128 matches the engine's padding bucket (engine.pad_rows) and prediction
+# chunk rounding, so bucketed training shapes qualify for the fused path.
+_TILE_M = 128
+_TILE_N = 128
 _MAX_D = 8
 
 
 def pallas_supported(n, m, d, dtype):
     """Shapes the fused kernel handles: f32, small feature dim, tile-aligned
-    point counts (callers pad to 128 already)."""
+    point counts (callers pad to 128 already). Set GPIM_TPU_NO_PALLAS=1 to
+    force the pure-XLA path (fallback knob / A-B benchmarking)."""
+    import os
+    if os.environ.get("GPIM_TPU_NO_PALLAS"):
+        return False
     return (dtype == jnp.float32
             and d <= _MAX_D
             and n % _TILE_M == 0
@@ -54,9 +60,20 @@ def _sqdist_kernel(d, a_ref, b_ref, out_ref):
 
 
 def _sqdist_raw(At, Bt, d):
-    """At: (d_pad, n), Bt: (d_pad, m) -> (n, m) squared distances."""
+    """At: (d_pad, n), Bt: (d_pad, m) -> (n, m) squared distances.
+
+    Traced with x64 disabled: under the package's global jax_enable_x64 the
+    grid index maps otherwise trace to i64, which Mosaic fails to legalize
+    ("failed to legalize operation 'func.return'") on the TPU AOT compiler.
+    All operands are explicitly float32, so the context changes no dtypes.
+    """
     n, m = At.shape[1], Bt.shape[1]
     grid = (n // _TILE_M, m // _TILE_N)
+    with jax.enable_x64(False):
+        return _pallas_call(At, Bt, d, n, m, grid)
+
+
+def _pallas_call(At, Bt, d, n, m, grid):
     return pl.pallas_call(
         partial(_sqdist_kernel, d),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
