@@ -105,20 +105,144 @@ def _masked_system(K, noise, mask, jitter):
     return mm * (K + (noise + jitter) * eye) + diag_fix
 
 
+_FAST_KERNELS = ("RBF", "Matern52", "RationalQuadratic")
+
+
 def exact_loss(u, X, y, mask, bounds, jitter, *, kernel):
     """Masked negative log marginal likelihood + MAP prior terms."""
-    kfn = get_kernel_fn(kernel)
     p = constrain(u, bounds)
+    if kernel in _FAST_KERNELS:
+        nll = _nll_fast(kernel, p, X, y, mask, jitter)
+    else:
+        nll = _exact_nll_autodiff(p, X, y, mask, jitter, kernel)
+    return nll - _log_jacobian(u, bounds)
+
+
+def _exact_nll_autodiff(p, X, y, mask, jitter, kernel):
+    kfn = get_kernel_fn(kernel)
     A = _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
     L = jnp.linalg.cholesky(A)
     ym = y * mask
     # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
     z = solve_triangular(L, ym, lower=True)
     n_eff = jnp.sum(mask)
+    return (0.5 * jnp.dot(z, z)
+            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+            + 0.5 * n_eff * _LOG_2PI)
+
+
+# --------------------------------------------------------------------------
+# Fast path: closed-form MLL gradients (RBF / Matern52 / RationalQuadratic)
+#
+# Autodiff's backward through Cholesky solves two (n, n)-rhs triangular
+# systems plus Phi-projection products - measured ~2.4x the forward cost on
+# TPU. The marginal likelihood has the classic closed-form gradient
+#     dNLL/dA = 0.5 (A^-1 - alpha alpha^T),   alpha = A^-1 y
+# which needs one trsm (L^-1 against I) + one syrk, and every hyperparameter
+# gradient is then a fused reduction against that matrix. With
+# base = (A^-1 - aa^T) . mm  (mm the padding-mask outer product):
+#     dNLL/dnoise = 0.5 (sum_i Ainv_ii m_i^2 - |alpha|^2)
+#     dNLL/dv     = 0.5 sum(base . K) / v
+#     dNLL/dl_k   = (sum_i x_ik^2 rowsum(W)_i - x_k^T W x_k) / l_k^3,
+#                   W = base . G,  dK/dl_k = G . D_k / l_k^3
+# where D_k = (x_ik - x_jk)^2 is the per-dim UNscaled squared distance; the
+# identity D_k = x_i^2 + x_j^2 - 2 x_i x_j turns its contraction into one
+# W @ X gemm, so no (n, n, d) tensor is ever formed. Per-kernel G:
+#     RBF               G = K
+#     Matern52          G = (5/3) v (1 + sqrt5 r) exp(-sqrt5 r)
+#     RationalQuadratic G = v (1 + s/(2 alpha_rq))^(-alpha_rq - 1),
+#                       plus dNLL/dalpha_rq = 0.5 sum(base . K .
+#                           (-log u + s / (2 alpha_rq + s))),  u = 1+s/(2a)
+# --------------------------------------------------------------------------
+
+_SQRT5 = 5.0 ** 0.5
+
+
+def _kernel_from_sqdist(kernel, p, s):
+    """Kernel matrix from the *scaled* squared-distance matrix s, matching
+    gpim_tpu.kernels.functional definitions exactly."""
+    v = p["variance"]
+    if kernel == "RBF":
+        return v * jnp.exp(-0.5 * s)
+    if kernel == "Matern52":
+        r = jnp.sqrt(s + 1e-12)
+        poly = 1.0 + _SQRT5 * r + (5.0 / 3.0) * r * r
+        return v * poly * jnp.exp(-_SQRT5 * r)
+    if kernel == "RationalQuadratic":
+        a = p["alpha"]
+        return v * (1.0 + s / (2.0 * a)) ** (-a)
+    raise NotImplementedError(kernel)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _nll_fast(kernel, p, X, y, mask, jitter):
+    nll, _ = _nll_fast_fwd(kernel, p, X, y, mask, jitter)
+    return nll
+
+
+def _nll_fast_fwd(kernel, p, X, y, mask, jitter):
+    from gpim_tpu.ops.gram import pairwise_sq_dist
+    Xs = X / p["lengthscale"]
+    s = pairwise_sq_dist(Xs, Xs)
+    Kt = _kernel_from_sqdist(kernel, p, s)         # unmasked kernel matrix
+    A = _masked_system(Kt, p["noise"], mask, jitter)
+    L = jnp.linalg.cholesky(A)
+    ym = y * mask
+    z = solve_triangular(L, ym, lower=True)
+    n_eff = jnp.sum(mask)
     nll = (0.5 * jnp.dot(z, z)
            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
            + 0.5 * n_eff * _LOG_2PI)
-    return nll - _log_jacobian(u, bounds)
+    s_res = None if kernel == "RBF" else s
+    return nll, (p, X, mask, L, Kt, s_res, z, jitter)
+
+
+def _nll_fast_bwd(kernel, res, g):
+    p, X, mask, L, Kt, s, z, jitter = res
+    n = X.shape[0]
+    v = p["variance"]
+    alpha = solve_triangular(L, z, lower=True, trans=1)   # A^-1 (y . m)
+    V = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    Ainv = V.T @ V
+    mm = mask[:, None] * mask[None, :]
+    base = (Ainv - alpha[:, None] * alpha[None, :]) * mm
+
+    dv = 0.5 * g * jnp.sum(base * Kt) / v
+    dn = 0.5 * g * (jnp.dot(jnp.diagonal(Ainv), mask * mask)
+                    - jnp.dot(alpha, alpha))
+    dp = {"variance": dv, "noise": dn}
+
+    if kernel == "RBF":
+        G = Kt
+    elif kernel == "Matern52":
+        r = jnp.sqrt(s + 1e-12)
+        G = (5.0 / 3.0) * v * (1.0 + _SQRT5 * r) * jnp.exp(-_SQRT5 * r)
+    else:  # RationalQuadratic
+        a = p["alpha"]
+        u_ = 1.0 + s / (2.0 * a)
+        G = v * u_ ** (-a - 1.0)
+        dp["alpha"] = 0.5 * g * jnp.sum(
+            base * Kt * (-jnp.log(u_) + s / (2.0 * a + s)))
+
+    W = base * G
+    rw = jnp.sum(W, axis=1)
+    WX = jnp.dot(W, X, precision=jax.lax.Precision.HIGHEST)
+    ls = p["lengthscale"]
+    per_dim = g * (jnp.sum(X * X * rw[:, None], axis=0)
+                   - jnp.sum(X * WX, axis=0))
+    if ls.shape[0] == 1 and X.shape[1] > 1:
+        # isotropic: one lengthscale scales every dim -> sum the per-dim terms
+        dls = jnp.sum(per_dim)[None] / (ls ** 3)
+    else:
+        dls = per_dim / (ls ** 3)
+    dp["lengthscale"] = dls
+    dy = g * alpha                                 # dNLL/dy = A^-1 (y.m) . m
+    # X and mask are never trained in the exact path; jitter is a constant.
+    return (dp, jnp.zeros_like(X), dy, jnp.zeros_like(mask),
+            jnp.zeros_like(jitter))
+
+
+_nll_fast.defvjp(_nll_fast_fwd, _nll_fast_bwd)
 
 
 def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):

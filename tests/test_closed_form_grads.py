@@ -1,0 +1,65 @@
+"""
+Closed-form MLL gradient correctness: the fast custom-VJP path
+(engine._nll_fast, used for the stationary kernel family) must match
+reverse-mode autodiff through the Cholesky factorization exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpim_tpu.gpreg import engine
+from gpim_tpu.kernels.transforms import positive_inverse, interval_inverse
+
+
+def _setup(kernel, d=3, iso=False, n=40, seed=0):
+    rng = np.random.RandomState(seed)
+    X = jnp.asarray(rng.rand(n, d) * 6)
+    y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.1 * rng.rand(n))
+    mask = jnp.asarray((rng.rand(n) > 0.2).astype(np.float64))
+    dls = 1 if iso else d
+    bounds = {"ls_lo": jnp.zeros(dls), "ls_hi": jnp.full(dls, 5.0),
+              "var_lo": jnp.asarray(1e-4), "var_hi": jnp.asarray(10.0)}
+    u = {"lengthscale": interval_inverse(jnp.full(dls, 1.3),
+                                         bounds["ls_lo"], bounds["ls_hi"]),
+         "variance": interval_inverse(jnp.asarray(0.8),
+                                      bounds["var_lo"], bounds["var_hi"]),
+         "noise": positive_inverse(jnp.asarray(0.2))}
+    if kernel == "RationalQuadratic":
+        u["alpha"] = positive_inverse(jnp.asarray(1.7))
+    return X, y, mask, bounds, u
+
+
+@pytest.mark.parametrize("kernel", ["RBF", "Matern52", "RationalQuadratic"])
+@pytest.mark.parametrize("iso", [False, True])
+def test_fast_grads_match_autodiff(kernel, iso):
+    X, y, mask, bounds, u = _setup(kernel, iso=iso)
+    jitter = 1e-10
+
+    def loss_fast(u):
+        return engine.exact_loss(u, X, y, mask, bounds, jitter,
+                                 kernel=kernel)
+
+    def loss_ref(u):
+        p = engine.constrain(u, bounds)
+        return (engine._exact_nll_autodiff(p, X, y, mask, jitter, kernel)
+                - engine._log_jacobian(u, bounds))
+
+    v1, g1 = jax.value_and_grad(loss_fast)(u)
+    v2, g2 = jax.value_and_grad(loss_ref)(u)
+    assert abs(float(v1 - v2)) < 1e-10
+    assert set(g1) == set(g2)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_fast_path_value_matches_reference_nll():
+    """The forward value itself equals the plain masked NLL."""
+    X, y, mask, bounds, u = _setup("RBF")
+    p = engine.constrain(u, bounds)
+    fast = float(engine._nll_fast("RBF", p, X, y, mask, 1e-10))
+    ref = float(engine._exact_nll_autodiff(p, X, y, mask, 1e-10, "RBF"))
+    assert abs(fast - ref) < 1e-10
