@@ -1,0 +1,202 @@
+"""
+Headline benchmark suite: the five reference workloads of BASELINE.md,
+measured end-to-end (numpy-in / numpy-out, warm) on whatever backend jax
+selects (TPU under axon, CPU otherwise).
+
+Prints one JSON line per config and rewrites benchmarks/RESULTS.md.
+
+Usage: python benchmarks/suite.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXPDATA = "/root/reference/expdata"
+QUICK = "--quick" in sys.argv
+
+
+def _timed(fn):
+    """Run twice (cold compile, then warm) and return (warm_seconds, out)."""
+    fn()
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def bench_spiral_2d():
+    """#1: 128x128 sparse-spiral PFM, exact GP, RBF, 250 iters."""
+    import gpim_tpu
+    from gpim_tpu import reconstructor, utils
+    img = np.load(os.path.join(EXPDATA, "spiral_s_00010_2019.npy"))
+    vals, counts = np.unique(img, return_counts=True)
+    R = img.copy()
+    R[R == vals[np.argmax(counts)]] = np.nan
+    R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    iters = 25 if QUICK else 250
+
+    def run():
+        return reconstructor(X, R, Xf, kernel="RBF", iterations=iters,
+                             verbose=0, precision="single").run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    obs = ~np.isnan(R)
+    rmse = float(np.sqrt(np.mean((mean[obs] - R[obs]) ** 2)))
+    return {"metric": "spiral128_exactgp_recon_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters, "rmse_obs": round(rmse, 4)}
+
+
+def bench_bo_ei():
+    """#2: BO on a 25x25 Gaussian-peak target, EI, 30 exploration steps."""
+    import gpim_tpu
+    from gpim_tpu import boptimizer, utils
+
+    def make():
+        np.random.seed(0)
+
+        def trial(idx):
+            return float(np.exp(-((idx[0] - 5.) ** 2 +
+                                  (idx[1] - 10.) ** 2) / 20.0))
+
+        grid = np.full((25, 25), np.nan)
+        for i, j in np.random.randint(0, 25, (5, 2)):
+            grid[i, j] = trial((i, j))
+        X = utils.get_sparse_grid(grid)
+        Xf = utils.get_full_grid(grid)
+        return boptimizer(X, grid, Xf, target_function=trial,
+                          acquisition_function="ei",
+                          exploration_steps=5 if QUICK else 30,
+                          gp_iterations=200, verbose=0)
+
+    def run():
+        bo = make()
+        bo.run()
+        return bo
+
+    warm, bo = _timed(run)
+    found = float(np.nanmax(bo.target_func_vals[-1]))
+    steps = len(bo.indices_all)
+    return {"metric": "bo25_ei_explore_wall", "value": round(warm, 3),
+            "unit": "s", "steps": steps,
+            "steps_per_s": round(steps / warm, 2),
+            "best_found": round(found, 4)}
+
+
+def bench_bepfm_3d_sparse():
+    """#3: 32x32x102 sparse BEPFM cube (70.6% NaN), VFE sparse GP."""
+    import gpim_tpu
+    from gpim_tpu import reconstructor, utils
+    R = np.load(os.path.join(EXPDATA, "bepfm_test_data_sparse.npy"))
+    truth = np.load(os.path.join(EXPDATA, "bepfm_test_data.npy"))
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    iters = 40 if QUICK else 400
+
+    def run():
+        return reconstructor(X, R, Xf, kernel="Matern52", sparse=True,
+                             indpoints=1000, learning_rate=0.05,
+                             iterations=iters, verbose=0,
+                             precision="single").run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    tnorm = (truth - truth.min()) / np.ptp(truth)
+    mnorm = (mean - truth.min()) / np.ptp(truth)
+    rmse = float(np.sqrt(np.mean((mnorm - tnorm) ** 2)))
+    return {"metric": "bepfm3d_vfe_recon_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters,
+            "rmse_vs_truth": round(rmse, 4)}
+
+
+def bench_eels_parallel():
+    """#4: EELS-style multi-output parallel GP (6 channels, vmapped),
+    prediction on a 2x denser grid. Band-averaged BEPFM stands in for the
+    missing eels.npy source (reference .MISSING_LARGE_BLOBS:2)."""
+    import gpim_tpu
+    from gpim_tpu import utils, vreconstructor
+    cube = np.load(os.path.join(EXPDATA, "bepfm_test_data.npy"))
+    bands = np.stack([cube[:, :, i * 15:(i + 1) * 15].mean(-1)
+                      for i in range(6)], axis=-1)
+    bands = (bands - bands.min()) / np.ptp(bands)
+    rng = np.random.default_rng(0)
+    Y = bands.copy()
+    Y[rng.random(bands.shape[:2]) < 0.5] = np.nan
+    X = utils.get_full_grid(Y[..., 0]).copy()
+    X[:, np.isnan(Y[..., 0])] = np.nan
+    Xd = utils.get_full_grid(Y[..., 0], dense_x=0.5)
+    iters = 10 if QUICK else 100
+
+    def run():
+        return vreconstructor(X, Y, Xd, kernel="RBF", independent=True,
+                              iterations=iters, verbose=0).run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    obs = ~np.isnan(Y)
+    return {"metric": "eels6_parallel_gp_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters, "channels": 6,
+            "pred_grid": list(mean.shape)}
+
+
+def bench_ckpfm_4d_ski():
+    """#5: 4D cKPFM (10x10x64x5 grid), structured-kernel (SKI) GP."""
+    import gpim_tpu
+    from gpim_tpu import utils, skreconstructor
+    d = np.load(os.path.join(EXPDATA, "cKPFM loop_0001 10 x 10-proc.npz"))
+    R = (d["Nd_mat_amp"] * np.cos(d["Nd_mat_phase"]))[..., 1, :, :]
+    R = (R - R.min()) / np.ptp(R)
+    X = utils.get_full_grid(R)
+    iters = 10 if QUICK else 50
+
+    def run():
+        return skreconstructor(X, R, X, kernel="Matern52", ski=True,
+                               grid_points_ratio=1.0,
+                               lengthscale=[1.0, 3.0],
+                               iterations=iters, verbose=0).run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    rmse = float(np.sqrt(np.nanmean((mean - R) ** 2)))
+    return {"metric": "ckpfm4d_ski_recon_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters, "rmse_fit": round(rmse, 4)}
+
+
+BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bepfm_3d_sparse,
+           bench_eels_parallel, bench_ckpfm_4d_ski]
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    rows = []
+    for b in BENCHES:
+        try:
+            rec = b()
+        except Exception as e:  # keep the suite running
+            rec = {"metric": b.__name__, "error": repr(e)[:200]}
+        rec["backend"] = backend
+        print(json.dumps(rec), flush=True)
+        rows.append(rec)
+
+    md = ["# Benchmark results (generated by benchmarks/suite.py)", "",
+          "Backend: `%s`%s" % (backend, "  (QUICK mode)" if QUICK else ""),
+          "", "| metric | warm wall | details |", "|---|---|---|"]
+    for r in rows:
+        details = {k: v for k, v in r.items()
+                   if k not in ("metric", "value", "unit", "backend")}
+        md.append("| %s | %s %s | %s |" % (
+            r["metric"], r.get("value", "-"), r.get("unit", ""),
+            json.dumps(details)))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "RESULTS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

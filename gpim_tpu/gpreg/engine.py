@@ -181,11 +181,22 @@ def _nll_fast(kernel, p, X, y, mask, jitter):
 
 
 def _nll_fast_fwd(kernel, p, X, y, mask, jitter):
+    from gpim_tpu.ops import pallas_gram
     from gpim_tpu.ops.gram import pairwise_sq_dist
+    n, d = X.shape
     Xs = X / p["lengthscale"]
-    s = pairwise_sq_dist(Xs, Xs)
-    Kt = _kernel_from_sqdist(kernel, p, s)         # unmasked kernel matrix
-    A = _masked_system(Kt, p["noise"], mask, jitter)
+    if pallas_gram.pallas_supported(n, n, d, jnp.float32) \
+            and X.dtype == jnp.float32:
+        # one fused HBM pass producing K and the masked system together
+        Kt, A = pallas_gram.fused_masked_system_pallas(
+            Xs, mask, p["variance"], p["noise"] + jitter,
+            p.get("alpha"), kernel=kernel)
+        s_res = None          # backward recomputes s when the kernel needs it
+    else:
+        s = pairwise_sq_dist(Xs, Xs)
+        Kt = _kernel_from_sqdist(kernel, p, s)     # unmasked kernel matrix
+        A = _masked_system(Kt, p["noise"], mask, jitter)
+        s_res = None if kernel == "RBF" else s
     L = jnp.linalg.cholesky(A)
     ym = y * mask
     z = solve_triangular(L, ym, lower=True)
@@ -193,7 +204,6 @@ def _nll_fast_fwd(kernel, p, X, y, mask, jitter):
     nll = (0.5 * jnp.dot(z, z)
            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
            + 0.5 * n_eff * _LOG_2PI)
-    s_res = None if kernel == "RBF" else s
     return nll, (p, X, mask, L, Kt, s_res, z, jitter)
 
 
@@ -212,6 +222,10 @@ def _nll_fast_bwd(kernel, res, g):
                     - jnp.dot(alpha, alpha))
     dp = {"variance": dv, "noise": dn}
 
+    if kernel != "RBF" and s is None:
+        # forward used the fused pallas path, which does not emit s
+        from gpim_tpu.ops.gram import pairwise_sq_dist
+        s = pairwise_sq_dist(X / p["lengthscale"], X / p["lengthscale"])
     if kernel == "RBF":
         G = Kt
     elif kernel == "Matern52":

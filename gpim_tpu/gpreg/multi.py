@@ -64,7 +64,19 @@ def _masked_gram(kfn, p, X, mask, jitter):
 
 
 def _task_mll(p, X, yt, mask, jitter, kernel):
-    """Masked exact MLL of one output channel (with constant mean)."""
+    """Masked exact MLL of one output channel (with constant mean).
+
+    Stationary kernels route through the closed-form-gradient fast path
+    (engine._nll_fast, one trsm + syrk backward instead of the Cholesky
+    VJP); the constant-mean gradient chains through the fast path's exact
+    dNLL/dy cotangent.
+    """
+    from gpim_tpu.gpreg import engine
+    if kernel in engine._FAST_KERNELS:
+        core_p = {"lengthscale": p["lengthscale"],
+                  "variance": p["variance"], "noise": p["noise"]}
+        return engine._nll_fast(kernel, core_p, X, yt - p["mean"],
+                                mask, jitter)
     kfn = get_kernel_fn(kernel)
     A = _masked_gram(kfn, p, X, mask, jitter)
     L = jnp.linalg.cholesky(A)

@@ -120,3 +120,91 @@ def _bwd(res, g):
 
 
 pairwise_sq_dist_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused masked GP system: one HBM pass producing BOTH the unmasked kernel
+# matrix K and the masked training system
+#     A = (m m^T) . (K + (noise + jitter) I) + (I - diag(m)) I
+# from scaled inputs. Used by the closed-form-gradient MLL forward
+# (gpim_tpu/gpreg/engine._nll_fast_fwd) which is never itself
+# differentiated, so no VJP plumbing is needed here.
+# --------------------------------------------------------------------------
+
+def _system_kernel(d, kernel, a_ref, b_ref, ma_ref, mb_ref, sc_ref,
+                   k_ref, A_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    acc = jnp.zeros((_TILE_M, _TILE_N), jnp.float32)
+    for k in range(d):
+        diff = a_ref[k, :][:, None] - b_ref[k, :][None, :]
+        acc = acc + diff * diff
+    v = sc_ref[0, 0]
+    s = sc_ref[0, 1]          # noise + jitter
+    if kernel == "RBF":
+        K = v * jnp.exp(-0.5 * acc)
+    elif kernel == "Matern52":
+        r = jnp.sqrt(acc + 1e-12)
+        sq5 = 5.0 ** 0.5
+        K = v * (1.0 + sq5 * r + (5.0 / 3.0) * r * r) * jnp.exp(-sq5 * r)
+    else:  # RationalQuadratic
+        alpha = sc_ref[0, 2]
+        K = v * jnp.exp(-alpha * jnp.log1p(acc / (2.0 * alpha)))
+    # exact diagonal: coincident scaled points have acc == 0 by construction
+    # (same tile row/col of the same input), detected via global ids
+    row = i * _TILE_M + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (_TILE_M, _TILE_N), 0)
+    col = j * _TILE_N + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (_TILE_M, _TILE_N), 1)
+    eye = (row == col).astype(jnp.float32)
+    # snap round-off distances on the diagonal: K(x,x) must be exactly v
+    K = jnp.where(eye > 0, v, K)
+    ma = ma_ref[0, :][:, None]
+    mb = mb_ref[0, :][None, :]
+    k_ref[:] = K
+    A_ref[:] = ma * mb * (K + s * eye) + (1.0 - ma) * eye
+
+
+def fused_masked_system_pallas(Xs, mask, variance, noise_plus_jitter,
+                               alpha=None, *, kernel):
+    """(Kt, A) from scaled inputs Xs (n, d) in one fused pass.
+
+    Requires pallas_supported(n, n, d, f32). ``alpha`` only for
+    RationalQuadratic. Not differentiable - callers own the gradients.
+    """
+    n, d = Xs.shape
+    Xs = Xs.astype(jnp.float32)
+    At = jnp.zeros((_MAX_D, n), jnp.float32).at[:d].set(Xs.T)
+    m2 = mask.astype(jnp.float32).reshape(1, n)
+    sc = jnp.stack([
+        jnp.asarray(variance, jnp.float32),
+        jnp.asarray(noise_plus_jitter, jnp.float32),
+        jnp.asarray(0.0 if alpha is None else alpha, jnp.float32),
+    ]).reshape(1, 3)
+    grid = (n // _TILE_M, n // _TILE_N)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_system_kernel, d, kernel),
+            out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
+                       jax.ShapeDtypeStruct((n, n), jnp.float32)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_MAX_D, _TILE_M), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_MAX_D, _TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_M), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(At, At, m2, m2, sc)

@@ -63,3 +63,47 @@ def test_fast_path_value_matches_reference_nll():
     fast = float(engine._nll_fast("RBF", p, X, y, mask, 1e-10))
     ref = float(engine._exact_nll_autodiff(p, X, y, mask, 1e-10, "RBF"))
     assert abs(fast - ref) < 1e-10
+
+
+def test_task_mll_fast_matches_autodiff():
+    """The per-task (EELS 'parallel GP') loss with constant mean must give
+    identical gradients through the fast path and plain autodiff."""
+    from gpim_tpu.gpreg import multi
+
+    rng = np.random.RandomState(3)
+    n, d, T = 30, 2, 4
+    X = jnp.asarray(rng.rand(n, d) * 6)
+    Y = jnp.asarray(rng.rand(n, T))
+    mask = jnp.asarray((rng.rand(n) > 0.2).astype(np.float64))
+    bounds = {"ls_lo": jnp.zeros(d), "ls_hi": jnp.full(d, 5.0)}
+    u = {"lengthscale": jnp.zeros((T, d)),
+         "outputscale": jnp.zeros((T,)),
+         "noise": jnp.full((T,), -1.0),
+         "mean": jnp.full((T,), 0.3)}
+
+    def loss_fast(u):
+        return multi._iv_loss(u, X, Y, mask, bounds, 1e-10, kernel="RBF")
+
+    def loss_ref(u):
+        def one(ut, yt):
+            p = multi._constrain_task(ut, bounds)
+            kfn = multi.get_kernel_fn("RBF")
+            A = multi._masked_gram(kfn, p, X, mask, 1e-10)
+            L = jnp.linalg.cholesky(A)
+            ym = (yt - p["mean"]) * mask
+            z = multi.solve_triangular(L, ym, lower=True)
+            return (0.5 * jnp.dot(z, z)
+                    + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+                    + 0.5 * jnp.sum(mask) * multi._LOG_2PI)
+        nll = jnp.sum(jax.vmap(one, in_axes=(0, 1))(u, Y))
+        from gpim_tpu.kernels.transforms import interval_log_jacobian
+        jac = jax.vmap(lambda l: interval_log_jacobian(
+            l, bounds["ls_lo"], bounds["ls_hi"]))(u["lengthscale"])
+        return nll - jnp.sum(jac)
+
+    v1, g1 = jax.value_and_grad(loss_fast)(u)
+    v2, g2 = jax.value_and_grad(loss_ref)(u)
+    assert abs(float(v1 - v2)) < 1e-9
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-8, atol=1e-12, err_msg=k)
