@@ -127,24 +127,44 @@ class skreconstructor:
         self.hyperparams = {}
         self._traj_list = []
 
-        # structured (SKI) operator for large grids: grid interpolation +
-        # Kronecker MVMs + CG/SLQ (gpim_tpu/ops/ski.py), honoring
-        # grid_points_ratio and maxroot (reference skgpr.py:124-131,147)
+        # structured operators for large grids, preferred in this order:
+        # 1. exact Kronecker inference (gpim_tpu/ops/kron_exact.py) when the
+        #    training data covers a full Cartesian grid with no NaNs - the
+        #    regime GPyTorch's GridInterpolationKernel approximates
+        #    (reference skgpr.py:436-440), closed form here;
+        # 2. grid interpolation + Kronecker MVMs + CG/SLQ
+        #    (gpim_tpu/ops/ski.py) for NaN-masked data, honoring
+        #    grid_points_ratio and maxroot (reference skgpr.py:124-131,147).
         self._ski_engine = None
+        self._kron_engine = None
         min_n = int(kwargs.get("ski_min_points", _SKI_MIN_N))
-        if self.do_ski and self._Xd.shape[0] >= min_n:
-            from gpim_tpu.gpreg.ski_model import SKIEngine
-            from gpim_tpu.ops import ski as ski_ops
-            grids = ski_ops.choose_grid(
-                self.X, ratio=float(self.grid_points_ratio))
-            self._ski_engine = SKIEngine(
-                self.kernel_type, np.asarray(self._Xd),
-                np.asarray(self._maskd), grids,
-                cg_iters=int(kwargs.get("cg_iterations", 64)),
-                n_probes=int(kwargs.get("n_probes", 8)),
-                rank=int(self.maxroot), seed=seed)
-            if self.verbose == 2:
-                print("SKI grid:", self._ski_engine.grid_shape)
+        if self.do_ski and self._Xd.shape[0] >= min_n \
+                and kernel != "Spectral":
+            from gpim_tpu.ops import kron_exact
+            axes = None
+            if len(X_np) == int(np.prod(np.shape(y))):
+                axes = kron_exact.detect_cartesian(X_np, np.shape(y))
+            if axes is not None:
+                from gpim_tpu.gpreg.kron_model import KronEngine
+                self._kron_engine = KronEngine(
+                    self.kernel_type, axes, np.shape(y), self.dtype)
+                self._Y_grid = jnp.asarray(
+                    y_np.reshape(np.shape(y)))
+                if self.verbose == 2:
+                    print("Kronecker exact grid:", np.shape(y))
+            else:
+                from gpim_tpu.gpreg.ski_model import SKIEngine
+                from gpim_tpu.ops import ski as ski_ops
+                grids = ski_ops.choose_grid(
+                    self.X, ratio=float(self.grid_points_ratio))
+                self._ski_engine = SKIEngine(
+                    self.kernel_type, np.asarray(self._Xd),
+                    np.asarray(self._maskd), grids,
+                    cg_iters=int(kwargs.get("cg_iterations", 64)),
+                    n_probes=int(kwargs.get("n_probes", 8)),
+                    rank=int(self.maxroot), seed=seed)
+                if self.verbose == 2:
+                    print("SKI grid:", self._ski_engine.grid_shape)
 
     def _set_data(self, X_np, y_np):
         self.X, self.y = X_np, y_np
@@ -177,6 +197,15 @@ class skreconstructor:
             self.u, traj = structured.train_spectral(
                 self.u, self._Xd, self._yd, self._maskd, lr, jit,
                 iterations=int(self.iterations))
+        elif self._kron_engine is not None:
+            u_k = {k: v[0] for k, v in self.u.items()}
+            u_k, traj = self._kron_engine.train(
+                u_k, self._Y_grid, self._bounds(), lr, jit,
+                iterations=int(self.iterations))
+            self.u = {k: v[None] for k, v in u_k.items()}
+            traj = dict(traj)
+            traj["lengthscale"] = traj["lengthscale"][:, None, :]
+            traj["noise"] = traj["noise"][:, None]
         elif self._ski_engine is not None:
             u_ski = {k: v[0] for k, v in self.u.items()}
             u_ski, traj = self._ski_engine.train(
@@ -255,6 +284,11 @@ class skreconstructor:
             mean, var = structured.predict_spectral(
                 self.u, self._Xd, self._yd, self._maskd, jit,
                 jnp.asarray(chunks))
+        elif self._kron_engine is not None:
+            u_k = {k: v[0] for k, v in self.u.items()}
+            mean, var = self._kron_engine.predict(
+                u_k, self._Y_grid, self._bounds(), jit, Xtest_clean)
+            n_test = len(Xtest_clean)
         elif self._ski_engine is not None:
             u_ski = {k: v[0] for k, v in self.u.items()}
             mean, var = self._ski_engine.predict(
