@@ -74,6 +74,10 @@ def plot_mixture_hyperparams(hyperparams):
             i, np.float64(w).round(5)))
     fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(21, 6))
     q = means.shape[1]
+    # hyperparams contract: means/scales are (iters, q, 1, d) - see
+    # skreconstructor._assemble_hyperparams
+    means = means.reshape(means.shape[0], q, -1)
+    scales = scales.reshape(scales.shape[0], q, -1)
     for it in range(len(means)):
         lab1 = "x coordinate" if it == len(means) - 1 else None
         lab2 = "y coordinate" if it == len(means) - 1 else None
