@@ -127,6 +127,32 @@ class vreconstructor:
                 "task_var": jnp.full((num_tasks,), positive_inverse(one)),
             }
 
+        # opt-in multi-chip mesh (independent mode): channels shard over the
+        # 'task' axis, prediction rows over 'grid' (gpim_tpu/parallel).
+        # mesh=True uses all devices; an int takes the first n; a
+        # jax.sharding.Mesh with ('task', 'grid') axes is used as-is.
+        self._mesh = None
+        mesh_arg = kwargs.get("mesh")
+        if mesh_arg is not None and mesh_arg is not False:
+            if not independent:
+                warnings.warn("mesh sharding applies to independent mode "
+                              "only; ignoring", UserWarning)
+            else:
+                from jax.sharding import Mesh
+                from gpim_tpu.parallel import multichip
+                if isinstance(mesh_arg, Mesh):
+                    self._mesh = mesh_arg
+                else:
+                    n_dev = None if mesh_arg is True else int(mesh_arg)
+                    self._mesh = multichip.make_mesh_2d(n_dev)
+                t_ax = self._mesh.shape["task"]
+                if num_tasks % t_ax:
+                    warnings.warn(
+                        "num_tasks (%d) not divisible by mesh task axis "
+                        "(%d); running unsharded" % (num_tasks, t_ax),
+                        UserWarning)
+                    self._mesh = None
+
         self._set_data(X_np, Y_np)
         self.hyperparams = {}
         self._traj_list = []
@@ -164,10 +190,20 @@ class vreconstructor:
         lr = jnp.asarray(self.learning_rate, self.dtype)
         jit = jnp.asarray(self.jitter, self.dtype)
         if self.independent:
-            self.u, traj = multi.train_independent(
-                self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
-                lr, jit, kernel=self.kernel_type,
-                iterations=int(self.iterations))
+            if self._mesh is not None:
+                from gpim_tpu.parallel import multichip
+                u_sh, X_sh, Y_sh, m_sh = multichip.shard_multitask(
+                    self.u, self._Xd, self._Yd, self._maskd, self._mesh)
+                with self._mesh:
+                    self.u, traj = multi.train_independent(
+                        u_sh, X_sh, Y_sh, m_sh, self._bounds(),
+                        lr, jit, kernel=self.kernel_type,
+                        iterations=int(self.iterations))
+            else:
+                self.u, traj = multi.train_independent(
+                    self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
+                    lr, jit, kernel=self.kernel_type,
+                    iterations=int(self.iterations))
         else:
             self.u, traj = multi.train_correlated(
                 self.u, self._Xd, self._Yd, self._bounds(),
@@ -216,9 +252,22 @@ class vreconstructor:
         chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
         jit = jnp.asarray(self.jitter, self.dtype)
         if self.independent:
-            mean, var = multi.predict_independent(
-                self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
-                jit, jnp.asarray(chunks), kernel=self.kernel_type)
+            chunks_d = jnp.asarray(chunks)
+            if self._mesh is not None and \
+                    chunks.shape[1] % self._mesh.shape["grid"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                chunks_d = jax.device_put(
+                    chunks_d,
+                    NamedSharding(self._mesh, P(None, "grid", None)))
+                with self._mesh:
+                    mean, var = multi.predict_independent(
+                        self.u, self._Xd, self._Yd, self._maskd,
+                        self._bounds(), jit, chunks_d,
+                        kernel=self.kernel_type)
+            else:
+                mean, var = multi.predict_independent(
+                    self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
+                    jit, chunks_d, kernel=self.kernel_type)
         else:
             mean, var = multi.predict_correlated(
                 self.u, self._Xd, self._Yd, self._bounds(),

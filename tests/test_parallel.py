@@ -71,3 +71,43 @@ def test_mesh_shapes():
     assert mesh.shape["task"] * mesh.shape["grid"] == 8
     mesh = multichip.make_mesh_2d(8, task_axis=8)
     assert mesh.shape["task"] == 8 and mesh.shape["grid"] == 1
+
+
+def test_vreconstructor_mesh_kwarg_matches_unsharded():
+    """User-facing multi-chip path: vreconstructor(mesh=...) shards channels
+    over 'task' and prediction rows over 'grid', and must reproduce the
+    single-device result exactly."""
+    from gpim_tpu.gpreg.vgpr import vreconstructor
+    from gpim_tpu.utils import gridutils
+
+    rng = np.random.RandomState(0)
+    T = 4
+    Y = rng.rand(12, 12, T)
+    Y[rng.rand(12, 12) < 0.3] = np.nan
+    X = gridutils.get_full_grid(Y[..., 0]).copy()
+    X[:, np.isnan(Y[..., 0])] = np.nan
+    Xf = gridutils.get_full_grid(Y[..., 0])
+
+    kw = dict(kernel="RBF", independent=True, iterations=10, verbose=0,
+              precision="single")
+    m1, s1, h1 = vreconstructor(X, Y, Xf, **kw).run()
+    m2, s2, h2 = vreconstructor(X, Y, Xf, mesh=4, **kw).run()
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+    assert_allclose(h1["lengthscale"], h2["lengthscale"], rtol=1e-5)
+
+
+def test_vreconstructor_mesh_indivisible_falls_back():
+    import warnings as _w
+    from gpim_tpu.gpreg.vgpr import vreconstructor
+    from gpim_tpu.utils import gridutils
+
+    rng = np.random.RandomState(0)
+    Y = rng.rand(8, 8, 3)          # 3 channels, task axis won't divide
+    X = gridutils.get_full_grid(Y[..., 0])
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        model = vreconstructor(X, Y, X, independent=True, iterations=2,
+                               verbose=0, mesh=8)
+    assert model._mesh is None
+    assert any("not divisible" in str(r.message) for r in rec)
