@@ -312,12 +312,17 @@ def train(u0, X, y, mask, bounds, lr, jitter, *,
             partial(loss_fn, kernel=kernel))(u, X, y, mask, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
-        rec = _record(constrain(u, bounds))
-        rec["loss"] = loss
-        return (u, opt_state), rec
+        # record the raw parameters only; the constrained trajectory is
+        # reconstructed in ONE vmapped pass below - running constrain()
+        # inside the scan body measurably slows small-n training (the
+        # per-iteration transform ops dominate when the Cholesky is tiny,
+        # e.g. inside Bayesian-optimization loops)
+        return (u, opt_state), (u, loss)
 
-    (u_final, _), traj = jax.lax.scan(
+    (u_final, _), (u_traj, losses) = jax.lax.scan(
         step, (u0, opt_state), None, length=iterations)
+    traj = jax.vmap(lambda uu: _record(constrain(uu, bounds)))(u_traj)
+    traj["loss"] = losses
     return u_final, traj
 
 
