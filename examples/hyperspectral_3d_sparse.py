@@ -8,6 +8,11 @@ Usage: python examples/hyperspectral_3d_sparse.py
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
 

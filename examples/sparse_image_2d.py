@@ -6,9 +6,12 @@ Usage: python examples/sparse_image_2d.py [path/to/image.npy]
 Missing pixels must be NaN (or pass a dense image and corrupt it below).
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
