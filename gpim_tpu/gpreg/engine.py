@@ -212,6 +212,10 @@ def _nll_fast_bwd(kernel, res, g):
     n = X.shape[0]
     v = p["variance"]
     alpha = solve_triangular(L, z, lower=True, trans=1)   # A^-1 (y . m)
+    # NOTE: a gemm-dominated bisection inverse (ops/blocked_chol.py
+    # inv_from_cholesky) was tried here and measured SLOWER end-to-end
+    # (3.68 -> 4.03 s flagship bench): its per-level concatenates add n^2
+    # HBM copies that outweigh the trsm->gemm flop win. Keep trsm + syrk.
     V = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
     Ainv = V.T @ V
     mm = mask[:, None] * mask[None, :]

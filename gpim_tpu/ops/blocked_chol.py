@@ -76,7 +76,7 @@ def cholesky_blocked(A, block=_BLOCK):
     return _chol_fwd_blocked(A, block)
 
 
-def _chol_vjp_fwd(block, A):
+def _chol_vjp_fwd(A, block):
     L = _chol_fwd_blocked(A, block)
     return L, L
 
@@ -105,3 +105,41 @@ def cholesky(A, block=_BLOCK):
     if A.shape[-1] >= _MIN_BLOCKED and A.ndim == 2:
         return cholesky_blocked(A, block)
     return jnp.linalg.cholesky(A)
+
+
+# --------------------------------------------------------------------------
+# Divide-and-conquer triangular inverse and A^-1-from-Cholesky.
+#
+# The closed-form MLL backward needs Ainv = L^-T L^-1. XLA offers only
+# trsm-against-identity (n^3/2 effective flops at trsm speed) plus a full
+# n^3 gemm for the symmetric product. Bisection keeps all O(n^3) work in
+# large gemms (the MXU-fastest op):
+#     L = [[L11, 0], [L21, L22]]
+#     L^-1 = [[W11, 0], [-W22 L21 W11, W22]]
+# recursing to a base size where XLA's trsm latency is fine.
+# --------------------------------------------------------------------------
+
+_TRI_BASE = 512
+
+
+def tri_inverse(L, base=_TRI_BASE):
+    """Inverse of a lower-triangular matrix, gemm-dominated bisection."""
+    n = L.shape[0]
+    if n <= base:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    half = ((n + 1) // 2 + 127) // 128 * 128
+    half = min(half, n - 128) if n > 128 else half
+    W11 = tri_inverse(L[:half, :half], base)
+    W22 = tri_inverse(L[half:, half:], base)
+    W21 = -W22 @ (L[half:, :half] @ W11)
+    top = jnp.concatenate(
+        [W11, jnp.zeros((half, n - half), L.dtype)], axis=1)
+    bot = jnp.concatenate([W21, W22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def inv_from_cholesky(L, base=_TRI_BASE):
+    """A^-1 = L^-T L^-1 from the lower Cholesky factor (potri analog)."""
+    W = tri_inverse(L, base)
+    # symmetric product; XLA runs this as one big gemm on the MXU
+    return W.T @ W
