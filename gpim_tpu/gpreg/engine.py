@@ -218,6 +218,27 @@ def _nll_fast_bwd(kernel, res, g):
     # HBM copies that outweigh the trsm->gemm flop win. Keep trsm + syrk.
     V = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
     Ainv = V.T @ V
+    from gpim_tpu.ops import pallas_gram
+    if kernel == "RBF" and X.dtype == jnp.float32 \
+            and pallas_gram.pallas_supported(n, n, X.shape[1], jnp.float32):
+        # one fused pass over Ainv/Kt computes every matrix reduction
+        s1, rw, WX, diagsum = pallas_gram.rbf_bwd_reductions_pallas(
+            Ainv, Kt, alpha, mask, X)
+        dv = 0.5 * g * s1 / v
+        dn = 0.5 * g * (diagsum - jnp.dot(alpha, alpha))
+        dp = {"variance": dv, "noise": dn}
+        ls = p["lengthscale"]
+        per_dim = g * (jnp.sum(X * X * rw[:, None], axis=0)
+                       - jnp.sum(X * WX, axis=0))
+        if ls.shape[0] == 1 and X.shape[1] > 1:
+            dls = jnp.sum(per_dim)[None] / (ls ** 3)
+        else:
+            dls = per_dim / (ls ** 3)
+        dp["lengthscale"] = dls
+        dy = g * alpha
+        return (dp, jnp.zeros_like(X), dy, jnp.zeros_like(mask),
+                jnp.zeros_like(jitter))
+
     mm = mask[:, None] * mask[None, :]
     base = (Ainv - alpha[:, None] * alpha[None, :]) * mm
 

@@ -208,3 +208,114 @@ def fused_masked_system_pallas(Xs, mask, variance, noise_plus_jitter,
             ),
             interpret=jax.default_backend() == "cpu",
         )(At, At, m2, m2, sc)
+
+
+# --------------------------------------------------------------------------
+# Fused backward reductions for the closed-form RBF MLL gradient.
+#
+# The backward pass needs, with base = (Ainv - a a^T) . (m m^T) and
+# W = base . K:
+#     S1      = sum(W)                  (-> dvariance)
+#     rw_i    = sum_j W_ij              (-> dlengthscale, x^2 term)
+#     WX      = W @ X                   (-> dlengthscale, cross term)
+#     diagsum = sum_i Ainv_ii m_i^2     (-> dnoise)
+# XLA materializes W (n^2) and re-reads the operands once per consumer;
+# this kernel computes all four in ONE pass over the Ainv/K tiles, with the
+# W @ X per-tile contraction on the MXU. Only used inside the custom-VJP
+# backward (never differentiated).
+# --------------------------------------------------------------------------
+
+def _bwd_red_kernel(a_ref, k_ref, ai_ref, aj_ref, mi_ref, mj_ref, x_ref,
+                    rw_ref, wx_ref, s1_ref, dg_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    Ainv = a_ref[...]
+    K = k_ref[...]
+    ai = ai_ref[0, :][:, None]
+    aj = aj_ref[0, :][None, :]
+    mi = mi_ref[0, :][:, None]
+    mj = mj_ref[0, :][None, :]
+    W = (Ainv - ai * aj) * (mi * mj) * K
+
+    rw_part = jnp.sum(W, axis=1, keepdims=True)          # (TM, 1)
+    wx_part = jax.lax.dot_general(
+        W, x_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TM, d_pad)
+    s1_part = jnp.sum(W)
+
+    @pl.when(j == 0)
+    def _init_rows():
+        rw_ref[...] = jnp.zeros_like(rw_ref)
+        wx_ref[...] = jnp.zeros_like(wx_ref)
+
+    # every lane accumulates the same row sum; the host reads lane 0
+    rw_ref[...] += jnp.broadcast_to(rw_part, rw_ref.shape)
+    wx_ref[...] += wx_part
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_scalars():
+        s1_ref[0, 0] = 0.0
+        dg_ref[0, 0] = 0.0
+
+    s1_ref[0, 0] += s1_part
+
+    @pl.when(i == j)
+    def _diag():
+        row = jax.lax.broadcasted_iota(jnp.int32, Ainv.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, Ainv.shape, 1)
+        eye = (row == col).astype(jnp.float32)
+        dg_ref[0, 0] += jnp.sum(Ainv * eye * (mi * mi))
+
+
+def rbf_bwd_reductions_pallas(Ainv, Kt, alpha, mask, X):
+    """One-pass (S1, rw, WX, diagsum) for the RBF closed-form backward.
+
+    Requires pallas_supported(n, n, d, f32). Returns
+    (s1 scalar, rw (n,), WX (n, d), diagsum scalar).
+    """
+    n, d = X.shape
+    Xp = jnp.zeros((n, _MAX_D), jnp.float32).at[:, :d].set(
+        X.astype(jnp.float32))
+    a2 = alpha.astype(jnp.float32).reshape(1, n)
+    m2 = mask.astype(jnp.float32).reshape(1, n)
+    grid = (n // _TILE_M, n // _TILE_N)
+    with jax.enable_x64(False):
+        rw, wx, s1, dg = pl.pallas_call(
+            _bwd_red_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, _MAX_D), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_M), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_M), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_N, _MAX_D), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((_TILE_M, 128), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_M, _MAX_D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(Ainv.astype(jnp.float32), Kt.astype(jnp.float32),
+          a2, a2, m2, m2, Xp)
+    return s1[0, 0], rw[:, 0], wx[:, :d], dg[0, 0]
