@@ -50,10 +50,13 @@ import os as _os
 
 _platforms = (getattr(_jax.config, "jax_platforms", None)
               or _os.environ.get("JAX_PLATFORMS", ""))
-_accel = bool(_platforms) and "cpu" not in str(_platforms).split(",")
+# Unset platform means jax will pick the best available backend - almost
+# always an accelerator on hosts where the cache matters most, so treat
+# unset as accelerator. Only an EXPLICIT cpu selection disables caching:
+# XLA:CPU AOT artifacts are machine-feature specific and a shared cache
+# dir risks SIGILL on other hosts (GPIM_TPU_NO_COMPILE_CACHE opts out).
+_accel = "cpu" not in str(_platforms).split(",") if _platforms else True
 
-# Only cache accelerator executables: XLA:CPU AOT artifacts are machine-
-# feature specific and a shared cache dir risks SIGILL on other hosts.
 if _accel and not _os.environ.get("GPIM_TPU_NO_COMPILE_CACHE"):
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

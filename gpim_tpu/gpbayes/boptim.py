@@ -174,8 +174,15 @@ class boptimizer:
         if not self.batch_update:
             return vals_list, indices_list
         if self.batch_dscale is None:
-            batch_dscale_ = float(np.mean(
-                self.surrogate_model.hyperparams["lengthscale"][-1]))
+            ls_traj = self.surrogate_model.hyperparams.get("lengthscale")
+            if ls_traj is not None and len(ls_traj):
+                batch_dscale_ = float(np.mean(ls_traj[-1]))
+            else:
+                # no trajectory yet (e.g. a run resumed from a checkpoint,
+                # which restores parameters but not the training history):
+                # read the lengthscale off the current surrogate parameters
+                batch_dscale_ = float(np.mean(np.asarray(
+                    self.surrogate_model.current_lengthscale())))
         else:
             batch_dscale_ = self.batch_dscale
         return self.update_points(vals_list, indices_list, batch_dscale_)

@@ -49,9 +49,11 @@ def _as_bounds(lengthscale, input_dim, isotropic, dtype):
     """
     lo, hi = lengthscale
     if np.ndim(lo) == 0:
-        shape = (1,) if isotropic or input_dim == 1 else (1,)
-        lo = np.full(shape, lo, dtype)
-        hi = np.full(shape, hi, dtype)
+        # one shared lengthscale by convention (unlike vgpr/skgpr, where a
+        # scalar pair broadcasts to (input_dim,) ARD bounds)
+        del isotropic, input_dim
+        lo = np.full((1,), lo, dtype)
+        hi = np.full((1,), hi, dtype)
     else:
         lo = np.asarray(lo, dtype)
         hi = np.asarray(hi, dtype)
@@ -196,6 +198,14 @@ class reconstructor:
 
     def _bounds(self):
         return {k: jnp.asarray(v) for k, v in self._bounds_np.items()}
+
+    def current_lengthscale(self):
+        """Constrained lengthscale(s) from the current parameters - valid
+        even when no training trajectory exists yet (e.g. right after
+        load_state on a resumed run)."""
+        import numpy as np
+        p = engine.constrain(self.u, self._bounds())
+        return np.asarray(p["lengthscale"])
 
     # ------------------------------------------------------------------
     # training

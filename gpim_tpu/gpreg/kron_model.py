@@ -43,9 +43,14 @@ class KronEngine:
             return tuple(grid_kernel_factors(self.kernel, kp, self._axes))
 
         def loss_fn(u, Y, bounds, jitter):
+            from gpim_tpu.kernels.transforms import interval_log_jacobian
             p = self._constrain(u, bounds)
-            return kron_exact.kron_nll(
-                factors(p), p["noise"] + jitter, Y - p["mean"])
+            # interval-transform log-Jacobian MAP term: same objective as
+            # the dense path (multi._iv_loss) and the SKI engine
+            return (kron_exact.kron_nll(
+                        factors(p), p["noise"] + jitter, Y - p["mean"])
+                    - interval_log_jacobian(
+                        u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
 
         @partial(jax.jit, static_argnames=("iterations",))
         def train(u0, Y, bounds, lr, jitter, *, iterations):
@@ -103,9 +108,10 @@ class KronEngine:
         }
 
     def predict(self, u, Y, bounds, jitter, Xtest_clean):
+        from gpim_tpu import dtypes
         from gpim_tpu.gpreg.engine import chunk_rows
         chunk = min(_PREDICT_CHUNK,
-                    max(128, -(-len(Xtest_clean) // 128) * 128))
+                    dtypes.round_up(max(len(Xtest_clean), 1), 128))
         chunks, n_test = chunk_rows(
             np.asarray(Xtest_clean, self.dtype), chunk)
         mean, var = self._predict_fn(

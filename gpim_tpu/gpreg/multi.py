@@ -72,7 +72,9 @@ def _task_mll(p, X, yt, mask, jitter, kernel):
     dNLL/dy cotangent.
     """
     from gpim_tpu.gpreg import engine
-    if kernel in engine._FAST_KERNELS:
+    # RationalQuadratic is excluded: its alpha is not a per-task parameter
+    # of this model family (GPyTorch-parity surface, gpytorch_kernels.py)
+    if kernel in ("RBF", "Matern52") and kernel in engine._FAST_KERNELS:
         core_p = {"lengthscale": p["lengthscale"],
                   "variance": p["variance"], "noise": p["noise"]}
         return engine._nll_fast(kernel, core_p, X, yt - p["mean"],

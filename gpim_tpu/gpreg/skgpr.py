@@ -68,6 +68,11 @@ class skreconstructor:
         self.dtype = dtypes.resolve_dtype(self.precision)
         self._prec_str = "single" if self.dtype == np.float32 else "double"
         self.verbose = verbose
+        if kernel not in ("RBF", "Matern52", "Spectral"):
+            # GPyTorch-parity surface (reference gpytorch_kernels.py:60-73)
+            raise NotImplementedError(
+                "Select one of the currently available kernels: "
+                "RBF, Matern52, Spectral")
         self.kernel_type = kernel
         self.do_ski = ski and kernel != "Spectral"
         input_dim = np.ndim(y)

@@ -50,6 +50,7 @@ class SKIEngine:
         self._key = jax.random.PRNGKey(seed)
 
         def loss_fn(u, y, mask_, bounds, jitter):
+            from gpim_tpu.kernels.transforms import interval_log_jacobian
             p = self._constrain(u, bounds)
             yc = (y - p["mean"]) * mask_
             noise_pj = p["noise"] + jitter
@@ -57,9 +58,13 @@ class SKIEngine:
             n_pad_ = y.shape[0]
             kp = {"lengthscale": p["lengthscale"],
                   "variance": p["variance"]}
+            # the interval-transform log-Jacobian MAP term keeps the
+            # objective identical to the dense path's (multi._iv_loss)
             return (self._core(kp, noise_pj, yc)
                     + 0.5 * n_eff * _LOG_2PI
-                    - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj))
+                    - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj)
+                    - interval_log_jacobian(
+                        u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
 
         @partial(jax.jit, static_argnames=("iterations",))
         def train(u0, y, mask_, bounds, lr, jitter, *, iterations):

@@ -67,6 +67,13 @@ class vreconstructor:
         self.dtype = dtypes.resolve_dtype(self.precision)
         self._prec_str = "single" if self.dtype == np.float32 else "double"
         self.verbose = verbose
+        if kernel not in ("RBF", "Matern52"):
+            # GPyTorch-parity surface (reference gpytorch_kernels.py:60-73;
+            # vgpr models take RBF/Matern52 - RationalQuadratic is a
+            # Pyro-path kernel and Spectral is skreconstructor-only)
+            raise NotImplementedError(
+                "Select one of the currently available kernels: "
+                "RBF, Matern52")
         self.kernel_type = kernel
         self.independent = independent
         input_dim = np.ndim(y) - 1

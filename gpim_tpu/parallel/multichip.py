@@ -85,10 +85,15 @@ def train_step_sharded(u, X, Y, mask, bounds, lr, jitter, *,
 
 def predict_sharded(u, X, Y, mask, bounds, jitter, Xtest, mesh, *,
                     kernel, chunk=512):
-    """Sharded prediction: test rows shard over 'grid' inside each chunk."""
+    """Sharded prediction: test rows shard over 'grid' inside each chunk
+    (replicated instead when the chunk size does not divide the grid axis,
+    e.g. on 3- or 6-device meshes)."""
     from gpim_tpu.gpreg import engine
     chunks, n_test = engine.chunk_rows(np.asarray(Xtest), chunk)
-    rows_grid = NamedSharding(mesh, P(None, "grid", None))
+    if chunks.shape[1] % mesh.shape["grid"] == 0:
+        rows_grid = NamedSharding(mesh, P(None, "grid", None))
+    else:
+        rows_grid = NamedSharding(mesh, P())
     chunks_d = jax.device_put(jnp.asarray(chunks), rows_grid)
     mean, var = multi.predict_independent(
         u, X, Y, mask, bounds, jitter, chunks_d, kernel=kernel)

@@ -94,7 +94,11 @@ def get_full_grid(R, extent=None, dense_x=1.0):
     if extent:
         slices = []
         for e, (lo, hi) in zip(R.shape, extent):
-            step = dense_x / (e // (hi - lo))
+            # e / dense_x points spanning [lo, hi). The reference's
+            # dense_x / (e // span) (gprutils.py:131) equals this when span
+            # divides e exactly, and divides by zero / yields wrong-size
+            # axes otherwise; span * dense_x / e is robust for any extent.
+            step = (hi - lo) * dense_x / e
             slices.append(slice(lo, hi, step))
     else:
         slices = [slice(0, e, dense_x) for e in R.shape]
