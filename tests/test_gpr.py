@@ -146,3 +146,33 @@ def test_update_data_and_retrain():
     assert len(model.hyperparams["lengthscale"]) == 4
     mean, sd = model.predict()
     assert mean.shape == R.shape
+
+
+def test_single_vs_double_precision_tolerance():
+    """SURVEY section 4 implication: f32 (the TPU default) must track the
+    f64 reference within loose-but-meaningful tolerances on the same data,
+    training run and prediction."""
+    rng = np.random.RandomState(5)
+    R = np.exp(-((np.indices((16, 16))[0] - 8.0) ** 2 +
+                 (np.indices((16, 16))[1] - 6.0) ** 2) / 20.0)
+    R = R + 0.01 * rng.randn(16, 16)
+    R[rng.rand(16, 16) < 0.4] = np.nan
+    from gpim_tpu import utils
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+
+    out = {}
+    for prec in ("single", "double"):
+        m = gpr.reconstructor(X, R.copy(), Xf, kernel="RBF",
+                              iterations=60, learning_rate=0.05,
+                              verbose=0, precision=prec)
+        mean, sd, hp = m.run()
+        out[prec] = (mean, sd, hp)
+
+    m32, s32, h32 = out["single"]
+    m64, s64, h64 = out["double"]
+    assert_allclose(m32, m64, rtol=0, atol=5e-3)
+    assert_allclose(s32, s64, rtol=0, atol=5e-3)
+    assert_allclose(h32["lengthscale"][-1], h64["lengthscale"][-1],
+                    rtol=1e-2)
+    assert_allclose(h32["noise"][-1], h64["noise"][-1], rtol=0, atol=1e-3)
