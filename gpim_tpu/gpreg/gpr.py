@@ -94,6 +94,12 @@ class reconstructor:
         self._prec_str = ("single" if self.dtype == np.float32 else "double")
         self.verbose = verbose
         self.seed = seed
+        if kernel not in ("RBF", "Matern52", "RationalQuadratic"):
+            # Pyro-parity surface (reference pyro_kernels.py:58-68); failing
+            # here beats a KeyError deep inside the jax trace
+            raise NotImplementedError(
+                "Select one of the currently available kernels: "
+                "RBF, Matern52, RationalQuadratic")
         self.kernel_type = kernel
         self.do_sparse = sparse
         input_dim = np.ndim(y)
@@ -111,7 +117,9 @@ class reconstructor:
             else:
                 lengthscale = [[0.0] * input_dim, [lmean] * input_dim]
         ls_lo, ls_hi = _as_bounds(lengthscale, input_dim, isotropic, self.dtype)
-        amp = kwargs.get("amplitude") or [1e-4, 10.0]
+        amp = kwargs.get("amplitude")
+        if amp is None:   # `or` would crash on array-valued bounds
+            amp = [1e-4, 10.0]
         self._bounds_np = {
             "ls_lo": ls_lo, "ls_hi": ls_hi,
             "var_lo": np.asarray(amp[0], self.dtype),
@@ -299,29 +307,28 @@ class reconstructor:
             self.verbose = kwargs.get("verbose")
         if self.verbose:
             print("Calculating predictive mean and variance...", end=" ")
-        timer_cm = self.timer.phase("predict")
-        timer_cm.__enter__()
-        # NaN coordinates (e.g. the sparse grids fed to EI/POI acquisition)
-        # must yield NaN predictions, as in the reference's torch path; the
-        # device computation runs on NaN-cleaned coordinates and the NaN
-        # rows are restored afterwards.
-        nan_rows = np.isnan(self.Xtest).any(axis=1)
-        Xtest_clean = np.nan_to_num(self.Xtest)
-        chunk = min(_PREDICT_CHUNK, dtypes.round_up(len(self.Xtest), 128))
-        chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
-        predict_fn = engine.predict_vfe if self.do_sparse \
-            else engine.predict_exact
-        mean, var = predict_fn(
-            self.u, self._Xd, self._yd, self._maskd, self._bounds(),
-            jnp.asarray(self.jitter, self.dtype), jnp.asarray(chunks),
-            kernel=self.kernel_type, noiseless=False)
-        mean = np.array(mean)[:n_test]
-        sd = np.sqrt(np.array(var)[:n_test])
-        mean[nan_rows] = np.nan
-        sd[nan_rows] = np.nan
-        mean = mean.reshape(self.fulldims)
-        sd = sd.reshape(self.fulldims)
-        timer_cm.__exit__(None, None, None)
+        with self.timer.phase("predict"):
+            # NaN coordinates (e.g. the sparse grids fed to EI/POI
+            # acquisition) must yield NaN predictions, as in the reference's
+            # torch path; the device computation runs on NaN-cleaned
+            # coordinates and the NaN rows are restored afterwards.
+            nan_rows = np.isnan(self.Xtest).any(axis=1)
+            Xtest_clean = np.nan_to_num(self.Xtest)
+            chunk = min(_PREDICT_CHUNK,
+                        dtypes.round_up(len(self.Xtest), 128))
+            chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
+            predict_fn = engine.predict_vfe if self.do_sparse \
+                else engine.predict_exact
+            mean, var = predict_fn(
+                self.u, self._Xd, self._yd, self._maskd, self._bounds(),
+                jnp.asarray(self.jitter, self.dtype), jnp.asarray(chunks),
+                kernel=self.kernel_type, noiseless=False)
+            mean = np.array(mean)[:n_test]
+            sd = np.sqrt(np.array(var)[:n_test])
+            mean[nan_rows] = np.nan
+            sd[nan_rows] = np.nan
+            mean = mean.reshape(self.fulldims)
+            sd = sd.reshape(self.fulldims)
         if self.verbose:
             print("Done")
         return mean, sd
@@ -386,12 +393,12 @@ class reconstructor:
             self.learning_rate = kwargs.get("learning_rate")
         if kwargs.get("iterations") is not None:
             self.iterations = kwargs.get("iterations")
-        if lscale is None:
-            lscale = float(np.mean(
-                self.hyperparams["lengthscale"][-1]
-                if len(self.hyperparams.get("lengthscale", [])) else 1.0))
         self.train(learning_rate=self.learning_rate,
                    iterations=self.iterations)
+        if lscale is None:
+            # read AFTER the retrain so batch spacing reflects the model's
+            # current correlation length, not the previous step's
+            lscale = float(np.mean(self.hyperparams["lengthscale"][-1]))
         mean, sd = self.predict()
         mean_ = mean.reshape(self.fulldims)
         sd_ = sd.reshape(self.fulldims)

@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gpim_tpu.kernels.transforms import (
-    interval_forward, interval_log_jacobian, positive_forward)
+from gpim_tpu.kernels.transforms import interval_log_jacobian
 from gpim_tpu.ops import kron_exact
 from gpim_tpu.ops.ski import grid_kernel_factors
 
@@ -34,14 +33,9 @@ __all__ = ["KronEngine"]
 _PREDICT_CHUNK = 4096
 
 
-def _constrain(u, bounds):
-    return {
-        "lengthscale": interval_forward(
-            u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
-        "variance": positive_forward(u["outputscale"]),
-        "noise": positive_forward(u["noise"]),
-        "mean": u["mean"],
-    }
+# GPyTorch-parity parameter mapping, shared with the dense and SKI paths
+# (multi._constrain_task) so checkpoints/trajectories stay compatible
+from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
 def _factors(kernel, p, axes):

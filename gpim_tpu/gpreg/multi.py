@@ -56,11 +56,25 @@ def _constrain_task(u, bounds):
     }
 
 
+def broadcast_ls_bounds(lengthscale, input_dim, isotropic, dtype):
+    """GPyTorch semantics: a scalar Interval broadcasts over the ARD dims
+    (isotropic=True collapses to one lengthscale). Shared by the
+    vgpr/skgpr reconstructors."""
+    import numpy as np
+    lo, hi = lengthscale
+    if np.ndim(lo) == 0:
+        shape = (1,) if isotropic else (input_dim,)
+        lo = np.full(shape, lo, dtype)
+        hi = np.full(shape, hi, dtype)
+    else:
+        lo = np.asarray(lo, dtype)
+        hi = np.asarray(hi, dtype)
+    return lo, hi
+
+
 def _masked_gram(kfn, p, X, mask, jitter):
-    K = kfn(p, X, X)
-    mm = mask[:, None] * mask[None, :]
-    eye = jnp.eye(X.shape[0], dtype=X.dtype)
-    return mm * (K + (p["noise"] + jitter) * eye) + (1.0 - mask) * eye
+    from gpim_tpu.gpreg.engine import _masked_system
+    return _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
 
 
 def _task_mll(p, X, yt, mask, jitter, kernel):

@@ -106,15 +106,8 @@ class skreconstructor:
                 lmean = float(np.mean(y.shape) / 2)
                 lengthscale = ([0.0, lmean] if isotropic
                                else [[0.0] * input_dim, [lmean] * input_dim])
-            lo, hi = lengthscale
-            if np.ndim(lo) == 0:
-                # GPyTorch semantics: a scalar Interval broadcasts over the
-                # ARD dims (isotropic=True collapses to one lengthscale)
-                shape = (1,) if isotropic else (input_dim,)
-                lo = np.full(shape, lo, self.dtype)
-                hi = np.full(shape, hi, self.dtype)
-            else:
-                lo, hi = np.asarray(lo, self.dtype), np.asarray(hi, self.dtype)
+            lo, hi = multi.broadcast_ls_bounds(
+                lengthscale, input_dim, isotropic, self.dtype)
             self._bounds_np = {"ls_lo": lo, "ls_hi": hi}
             ls_init = jnp.asarray(lo + 0.1 * (hi - lo))
             one = jnp.asarray(1.0, self.dtype)
@@ -282,10 +275,17 @@ class skreconstructor:
             print('Calculating predictive mean and uncertainty...')
         nan_rows = np.isnan(self.Xtest).any(axis=1)
         Xtest_clean = np.nan_to_num(self.Xtest)
-        chunk = min(_PREDICT_CHUNK, dtypes.round_up(len(self.Xtest), 128))
-        chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
+
+        def _chunks():
+            # only the spectral/dense branches consume pre-chunked tiles;
+            # the kron/ski engines take the clean test points directly
+            chunk = min(_PREDICT_CHUNK,
+                        dtypes.round_up(len(self.Xtest), 128))
+            return engine.chunk_rows(Xtest_clean, chunk)
+
         jit = jnp.asarray(self.jitter, self.dtype)
         if self.kernel_type == "Spectral":
+            chunks, n_test = _chunks()
             mean, var = structured.predict_spectral(
                 self.u, self._Xd, self._yd, self._maskd, jit,
                 jnp.asarray(chunks))
@@ -301,6 +301,7 @@ class skreconstructor:
                 Xtest_clean)
             n_test = len(Xtest_clean)
         else:
+            chunks, n_test = _chunks()
             mean, var = multi.predict_independent(
                 self.u, self._Xd, self._yd[:, None], self._maskd,
                 self._bounds(), jit, jnp.asarray(chunks),
@@ -336,12 +337,14 @@ class skreconstructor:
             self.learning_rate = kwargs.get("learning_rate")
         if kwargs.get("iterations") is not None:
             self.iterations = kwargs.get("iterations")
+        self.train(learning_rate=self.learning_rate,
+                   iterations=self.iterations)
         if lscale is None:
+            # read AFTER the retrain so batch spacing reflects the model's
+            # current correlation length, not the previous step's
             ls = self.hyperparams.get("lengthscale")
             lscale = float(np.mean(ls[-1])) if ls is not None and len(ls) \
                 else 1.0
-        self.train(learning_rate=self.learning_rate,
-                   iterations=self.iterations)
         mean, sd = self.predict()
         vals, inds = rank_acquisition(
             mean.reshape(self.fulldims), sd.reshape(self.fulldims),

@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gpim_tpu.kernels.transforms import (
-    interval_forward, interval_log_jacobian, positive_forward)
+from gpim_tpu.kernels.transforms import interval_log_jacobian
 from gpim_tpu.ops import ski
 
 __all__ = ["SKIEngine"]
@@ -28,14 +27,9 @@ __all__ = ["SKIEngine"]
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
-def _constrain(u, bounds):
-    return {
-        "lengthscale": interval_forward(
-            u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]),
-        "variance": positive_forward(u["outputscale"]),
-        "noise": positive_forward(u["noise"]),
-        "mean": u["mean"],
-    }
+# GPyTorch-parity parameter mapping, shared with the dense and Kronecker
+# paths (multi._constrain_task) so checkpoints/trajectories stay compatible
+from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
 def _loss(u, grids, idx, wgt, probes, y, mask_, bounds, jitter, *,

@@ -72,10 +72,9 @@ def _constrain_sm(u):
 
 
 def _sm_system(p, X, mask, jitter):
-    K = spectral_mixture(p, X, X)
-    mm = mask[:, None] * mask[None, :]
-    eye = jnp.eye(X.shape[0], dtype=X.dtype)
-    return mm * (K + (p["noise"] + jitter) * eye) + (1.0 - mask) * eye
+    from gpim_tpu.gpreg.engine import _masked_system
+    return _masked_system(spectral_mixture(p, X, X), p["noise"],
+                          mask, jitter)
 
 
 def _sm_loss(u, X, y, mask, jitter):

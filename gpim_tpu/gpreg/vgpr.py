@@ -95,15 +95,8 @@ class vreconstructor:
             lmean = float(np.mean(y.shape[:-1]) / 2)
             lengthscale = ([0.0, lmean] if isotropic
                            else [[0.0] * input_dim, [lmean] * input_dim])
-        lo, hi = lengthscale
-        if np.ndim(lo) == 0:
-            # GPyTorch semantics: scalar Interval broadcasts over ARD dims
-            shape = (1,) if isotropic else (input_dim,)
-            lo = np.full(shape, lo, self.dtype)
-            hi = np.full(shape, hi, self.dtype)
-        else:
-            lo = np.asarray(lo, self.dtype)
-            hi = np.asarray(hi, self.dtype)
+        lo, hi = multi.broadcast_ls_bounds(
+            lengthscale, input_dim, isotropic, self.dtype)
         self._bounds_np = {"ls_lo": lo, "ls_hi": hi}
         self.jitter = float(kwargs.get("jitter",
                                        dtypes.default_jitter(self.dtype)))

@@ -4,7 +4,14 @@ Blocked Cholesky factorization, MXU-first.
 XLA's native CholeskyDecomposition expander runs at ~5 TFLOP/s effective on
 TPU v5e at the sizes GP training uses (n ~ 4k), while its gemm and trsm hit
 40-90 TFLOP/s (measured, see git history). This module rebuilds the
-factorization as a short unrolled sequence of exactly those fast primitives:
+factorization as a short unrolled sequence of exactly those fast primitives.
+
+MEASURED OUTCOME (kept for future scaling work, NOT wired into the hot
+engines): at n ~ 4k the blocked forward only MATCHES XLA's expander
+(4.4 vs 4.6 ms - the sequential panel chain is latency-bound, not
+gemm-bound) and bf16x3 trailing updates buy ~10% at a real accuracy cost
+(2e-4 vs 5e-6 relative). The structure should win for n >> 10k where the
+trailing gemms dominate; engines call jnp.linalg.cholesky until then.
 
     left-looking panel loop (static shapes, unrolled at trace time):
         S_k   = A[k,k] - L[k,:k] L[k,:k]^T          (syrk -> gemm, MXU)
@@ -70,8 +77,9 @@ def _chol_fwd_blocked(A, block):
 def cholesky_blocked(A, block=_BLOCK):
     """Lower Cholesky factor of SPD ``A`` with gemm/trsm-dominated compute.
 
-    Equivalent to ``jnp.linalg.cholesky`` (same VJP semantics), ~3x faster
-    on TPU for n >~ 2k. ``block`` is a static tile size.
+    Equivalent to ``jnp.linalg.cholesky`` (same VJP semantics). Measured at
+    PARITY with XLA's expander at n ~ 4k (see module docstring); kept as the
+    building block for n >> 10k problems. ``block`` is a static tile size.
     """
     return _chol_fwd_blocked(A, block)
 
