@@ -45,27 +45,11 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: GP programs recompile per data-shape bucket,
 # and on remote-compile TPU setups a cold compile costs tens of seconds -
-# caching across processes amortizes it to ~nothing.
-import os as _os
-
-_platforms = (getattr(_jax.config, "jax_platforms", None)
-              or _os.environ.get("JAX_PLATFORMS", ""))
-# Unset platform means jax will pick the best available backend - almost
-# always an accelerator on hosts where the cache matters most, so treat
-# unset as accelerator. Only an EXPLICIT cpu selection disables caching:
-# XLA:CPU AOT artifacts are machine-feature specific and a shared cache
-# dir risks SIGILL on other hosts (GPIM_TPU_NO_COMPILE_CACHE opts out).
-_accel = "cpu" not in str(_platforms).split(",") if _platforms else True
-
-if _accel and not _os.environ.get("GPIM_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/gpim_tpu_jax"))
-    try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # older jax without these options
-        pass
+# caching across processes amortizes it to ~nothing. The enable decision is
+# deferred to the first backend resolution (dtypes._maybe_enable_compile_cache,
+# called by every model constructor): only accelerator backends cache -
+# XLA:CPU AOT artifacts are host-CPU-feature specific and a shared cache dir
+# would risk SIGILL on other machines (GPIM_TPU_NO_COMPILE_CACHE opts out).
 
 from gpim_tpu import utils
 from gpim_tpu.gpreg.gpr import reconstructor

@@ -74,7 +74,9 @@ def rank_acquisition(mean, sd, acquisition_function=None,
     if not batch_update:
         return vals, inds
     from gpim_tpu.native.spatial import spaced_batch
-    keep = spaced_batch(np.asarray(inds, np.float64), lscale or 1.0)
+    # explicit None test: lscale == 0.0 is a legitimate "no spacing" radius
+    keep = spaced_batch(np.asarray(inds, np.float64),
+                        1.0 if lscale is None else lscale)
     vals = [vals[i] for i in keep]
     inds = [inds[i] for i in keep]
     return vals, inds

@@ -16,6 +16,7 @@ as in the reference.
 """
 
 import copy
+import os
 import types
 
 import numpy as np
@@ -26,6 +27,15 @@ from gpim_tpu.native import spatial
 from gpim_tpu.utils import gridutils
 
 __all__ = ["boptimizer"]
+
+
+def _atomic_save(filename, obj, allow_pickle=False):
+    """np.save via temp-file + os.replace: a crash mid-write must never
+    truncate the only resume state of a long-running experiment."""
+    tmp = str(filename) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, obj, allow_pickle=allow_pickle)
+    os.replace(tmp, str(filename))
 
 
 class boptimizer:
@@ -300,7 +310,7 @@ class boptimizer:
             "surrogate_u": {k: np.asarray(v)
                             for k, v in self.surrogate_model.u.items()},
         }
-        np.save(str(filename) + ".npy", state, allow_pickle=True)
+        _atomic_save(str(filename) + ".npy", state, allow_pickle=True)
 
     def load_checkpoint(self, filename):
         """Restore state written by save_checkpoint; run() then continues
@@ -332,4 +342,4 @@ class boptimizer:
             'inds_all': np.array(self.indices_all),
             'vals_all': np.array(self.vals_all),
         }
-        np.save(filename + ".npy", results)
+        _atomic_save(filename + ".npy", results, allow_pickle=True)

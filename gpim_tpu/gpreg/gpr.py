@@ -357,10 +357,13 @@ class reconstructor:
                 bool(data["sparse"]) != self.do_sparse:
             raise ValueError(
                 "checkpoint was written by a different model configuration")
-        self.u = {k[2:]: jnp.asarray(v) for k, v in data.items()
+        # coerce to the model's working dtype: loading an f64 (CPU-written)
+        # checkpoint into a precision='single' model must not silently
+        # promote subsequent computation to emulated-f64 on TPU
+        self.u = {k[2:]: jnp.asarray(v, self.dtype) for k, v in data.items()
                   if k.startswith("u_")}
-        self._bounds_np = {k[2:]: np.asarray(v) for k, v in data.items()
-                           if k.startswith("b_")}
+        self._bounds_np = {k[2:]: np.asarray(v, self.dtype)
+                           for k, v in data.items() if k.startswith("b_")}
 
     # ------------------------------------------------------------------
     # combined flows

@@ -18,9 +18,13 @@ TPU-native design notes:
   mixtures and a deterministic data-driven init;
 - ``ski=True`` requests GPyTorch's grid-interpolation approximation
   (skgpr.py:436-440). Exact dense compute subsumes SKI in accuracy, so SKI
-  here is a *scaling* device: the structured Kronecker/Lanczos operator for
-  large grids is being built in gpim_tpu/ops (until it lands, ski=True runs
-  the exact path and honors the same API).
+  here is a *scaling* device with a three-way dispatch (see __init__ below):
+  large full-Cartesian grids route to exact Kronecker inference
+  (ops/kron_exact.py, per-dim eigendecompositions, closed form); large
+  NaN-masked grids route to grid interpolation + Kronecker MVMs + CG/SLQ
+  (ops/ski.py, honoring grid_points_ratio and maxroot); below
+  ``ski_min_points`` (default 8192 padded rows) the dense exact engine is
+  both faster on TPU and exact, so it is used regardless of ``ski``.
 - reference defects fixed on purpose (SURVEY.md 2.4): predict() works when
   Xtest was not given at construction (skgpr.py:118-120 crash), and the
   ``max_root`` kwarg is not silently dropped (skgpr.py:305-306).
@@ -271,6 +275,12 @@ class skreconstructor:
             self.num_batches = kwargs.get("num_batches")
         if kwargs.get("max_root") is not None:
             self.maxroot = kwargs.get("max_root")
+            if self._ski_engine is not None:
+                # propagate to the Lanczos variance rank (the reference
+                # silently drops this kwarg, skgpr.py:305-306); a changed
+                # rank recompiles the predict program once
+                self._ski_engine.rank = int(
+                    min(self.maxroot, self._Xd.shape[0]))
         if self.verbose:
             print('Calculating predictive mean and uncertainty...')
         nan_rows = np.isnan(self.Xtest).any(axis=1)
@@ -278,8 +288,13 @@ class skreconstructor:
 
         def _chunks():
             # only the spectral/dense branches consume pre-chunked tiles;
-            # the kron/ski engines take the clean test points directly
-            chunk = min(_PREDICT_CHUNK,
+            # the kron/ski engines take the clean test points directly.
+            # num_batches > 1 maps the reference's manual test-grid splitting
+            # (skgpr.py:309-326) onto the lax.map tile size; the default is
+            # the fixed memory-bounded tile.
+            nb = max(1, int(self.num_batches))
+            target = -(-len(self.Xtest) // nb) if nb > 1 else _PREDICT_CHUNK
+            chunk = min(dtypes.round_up(max(target, 1), 128),
                         dtypes.round_up(len(self.Xtest), 128))
             return engine.chunk_rows(Xtest_clean, chunk)
 

@@ -247,7 +247,11 @@ class vreconstructor:
             print('Calculating predictive mean and uncertainty...')
         nan_rows = np.isnan(self.Xtest).any(axis=1)
         Xtest_clean = np.nan_to_num(self.Xtest)
-        chunk = min(_PREDICT_CHUNK,
+        # num_batches > 1 maps the reference's manual test-grid splitting
+        # (vgpr.py:247-264) onto the lax.map tile size
+        nb = max(1, int(self.num_batches))
+        target = -(-len(self.Xtest) // nb) if nb > 1 else _PREDICT_CHUNK
+        chunk = min(dtypes.round_up(max(target, 1), 128),
                     dtypes.round_up(len(self.Xtest), 128))
         chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
         jit = jnp.asarray(self.jitter, self.dtype)
