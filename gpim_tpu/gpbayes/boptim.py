@@ -49,7 +49,10 @@ class boptimizer:
     use_gpu (ignored), precision, jitter, isotropic, mask, dscale,
     batch_dscale, batch_out_max, gamma, memory, exit_strategy, extent,
     simulate_measurement, y_true, save_checkpoints, filename, verbose,
-    learning_rate.
+    learning_rate, mesh (multi-chip opt-in, forwarded to the surrogate
+    reconstructor: acquisition evaluates the surrogate over the FULL grid
+    every step, and that dense prediction shards over the mesh's 'grid'
+    axis).
     """
 
     def __init__(self,
@@ -77,7 +80,8 @@ class boptimizer:
         self.surrogate_model = gpr.reconstructor(
             X_seed, y_seed, X_full, kernel, lengthscale, sparse, indpoints,
             learning_rate, gp_iterations, False, self.verbose, seed,
-            isotropic=isotropic, precision=self.precision, jitter=jitter)
+            isotropic=isotropic, precision=self.precision, jitter=jitter,
+            mesh=kwargs.get("mesh"))
 
         self.X_sparse = X_seed.copy()
         self.y_sparse = y_seed.copy()

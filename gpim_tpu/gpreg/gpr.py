@@ -71,7 +71,10 @@ class reconstructor:
     learning_rate, iterations, use_gpu (ignored - accelerator use is
     automatic), verbose, seed, and kwargs: amplitude (variance bounds),
     precision ('single'/'double'; default: double on CPU, single on TPU),
-    jitter, isotropic.
+    jitter, isotropic, mesh (multi-chip opt-in: True for all devices, an
+    int for the first n, or a jax.sharding.Mesh with a 'grid' axis -
+    prediction tiles shard across chips for both exact and sparse models,
+    and sparse (VFE) training additionally shards the data rows).
     """
 
     def __init__(self,
@@ -175,6 +178,20 @@ class reconstructor:
             u0["Xu"] = jnp.asarray(Xu)
         self.u = u0
 
+        # opt-in multi-chip mesh (new layer - the reference is single-device,
+        # SURVEY.md section 5). Prediction is embarrassingly parallel over
+        # test tiles for both model families; VFE training is a sum over data
+        # rows, so its Kmn/A construction shards by row with the (m, m) B
+        # reduction psum-ed by XLA sharding propagation. The exact-GP
+        # training factorization stays replicated: one dense Cholesky does
+        # not shard profitably over ICI ("shard the batch, replicate the
+        # solver").
+        self._mesh = None
+        mesh_arg = kwargs.get("mesh")
+        if mesh_arg is not None and mesh_arg is not False:
+            from gpim_tpu.parallel.mesh import resolve_mesh
+            self._mesh = resolve_mesh(mesh_arg)
+
         self._set_data(X_np, y_np)
         self.hyperparams = {}
         self._traj_list = []
@@ -232,8 +249,18 @@ class reconstructor:
         if self.verbose:
             print('Model training...')
         with self.timer.phase("train"):
+            Xd, yd, maskd, u0 = self._Xd, self._yd, self._maskd, self.u
+            if (self._mesh is not None and self.do_sparse
+                    and Xd.shape[0] % self._mesh.shape["grid"] == 0):
+                # VFE is a sum over observations: shard the data rows, let
+                # sharding propagation psum the (m, m) B / trace reductions
+                from gpim_tpu.parallel import mesh as meshmod
+                Xd = meshmod.shard_batch(Xd, self._mesh)
+                yd = meshmod.shard_batch(yd, self._mesh)
+                maskd = meshmod.shard_batch(maskd, self._mesh)
+                u0 = meshmod.replicate(u0, self._mesh)
             u, traj = engine.train(
-                self.u, self._Xd, self._yd, self._maskd, self._bounds(),
+                u0, Xd, yd, maskd, self._bounds(),
                 jnp.asarray(self.learning_rate, self.dtype),
                 jnp.asarray(self.jitter, self.dtype),
                 kernel=self.kernel_type,
@@ -319,9 +346,19 @@ class reconstructor:
             chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
             predict_fn = engine.predict_vfe if self.do_sparse \
                 else engine.predict_exact
+            chunks_d = jnp.asarray(chunks)
+            u, Xd, yd, maskd = self.u, self._Xd, self._yd, self._maskd
+            if self._mesh is not None:
+                # test tiles shard over 'grid' (each chip solves its own
+                # rows against the replicated factorization); everything
+                # else replicates so placements agree
+                from gpim_tpu.parallel import mesh as meshmod
+                chunks_d = meshmod.shard_chunk_rows(chunks_d, self._mesh)
+                u, Xd, yd, maskd = meshmod.replicate(
+                    (u, Xd, yd, maskd), self._mesh)
             mean, var = predict_fn(
-                self.u, self._Xd, self._yd, self._maskd, self._bounds(),
-                jnp.asarray(self.jitter, self.dtype), jnp.asarray(chunks),
+                u, Xd, yd, maskd, self._bounds(),
+                jnp.asarray(self.jitter, self.dtype), chunks_d,
                 kernel=self.kernel_type, noiseless=False)
             mean = np.array(mean)[:n_test]
             sd = np.sqrt(np.array(var)[:n_test])

@@ -110,14 +110,22 @@ class KronEngine:
         return _train(u0, self._axes, Y, bounds, lr, jitter,
                       kernel=self.kernel, iterations=iterations)
 
-    def predict(self, u, Y, bounds, jitter, Xtest_clean):
+    def predict(self, u, Y, bounds, jitter, Xtest_clean, mesh=None):
         from gpim_tpu import dtypes
         from gpim_tpu.gpreg.engine import chunk_rows
         chunk = min(_PREDICT_CHUNK,
                     dtypes.round_up(max(len(Xtest_clean), 1), 128))
         chunks, n_test = chunk_rows(
             np.asarray(Xtest_clean, self.dtype), chunk)
+        chunks_d = jnp.asarray(chunks)
+        axes, u_, Y_ = self._axes, u, Y
+        if mesh is not None:
+            # test tiles shard over 'grid'; the (tiny) eigendecomposed
+            # training state replicates next to them
+            from gpim_tpu.parallel import mesh as meshmod
+            chunks_d = meshmod.shard_chunk_rows(chunks_d, mesh)
+            axes, u_, Y_ = meshmod.replicate((axes, u, Y), mesh)
         mean, var = _predict(
-            u, self._axes, Y, bounds, jitter, jnp.asarray(chunks),
+            u_, axes, Y_, bounds, jitter, chunks_d,
             kernel=self.kernel)
         return np.asarray(mean)[:n_test], np.asarray(var)[:n_test]

@@ -125,6 +125,16 @@ class skreconstructor:
                 "mean": jnp.zeros((1,), self.dtype),
             }
 
+        # opt-in multi-chip mesh: prediction tiles shard over a 1D 'grid'
+        # axis for the dense / spectral / Kronecker-exact paths (the SKI
+        # CG engine predicts all points in one gather-bound program and
+        # stays single-chip). Training stays replicated - one factorization.
+        self._mesh = None
+        mesh_arg = kwargs.get("mesh")
+        if mesh_arg is not None and mesh_arg is not False:
+            from gpim_tpu.parallel.mesh import resolve_mesh
+            self._mesh = resolve_mesh(mesh_arg)
+
         self._set_data(X_np, y_np)
         self.hyperparams = {}
         self._traj_list = []
@@ -298,16 +308,28 @@ class skreconstructor:
                         dtypes.round_up(len(self.Xtest), 128))
             return engine.chunk_rows(Xtest_clean, chunk)
 
+        def _placed(chunks, *repl):
+            """Shard test tiles over the mesh's 'grid' axis and replicate
+            the trained state next to them (no-op without a mesh)."""
+            chunks_d = jnp.asarray(chunks)
+            if self._mesh is None:
+                return (chunks_d,) + repl
+            from gpim_tpu.parallel import mesh as meshmod
+            return ((meshmod.shard_chunk_rows(chunks_d, self._mesh),)
+                    + meshmod.replicate(repl, self._mesh))
+
         jit = jnp.asarray(self.jitter, self.dtype)
         if self.kernel_type == "Spectral":
             chunks, n_test = _chunks()
+            chunks_d, u, Xd, yd, maskd = _placed(
+                chunks, self.u, self._Xd, self._yd, self._maskd)
             mean, var = structured.predict_spectral(
-                self.u, self._Xd, self._yd, self._maskd, jit,
-                jnp.asarray(chunks))
+                u, Xd, yd, maskd, jit, chunks_d)
         elif self._kron_engine is not None:
             u_k = {k: v[0] for k, v in self.u.items()}
             mean, var = self._kron_engine.predict(
-                u_k, self._Y_grid, self._bounds(), jit, Xtest_clean)
+                u_k, self._Y_grid, self._bounds(), jit, Xtest_clean,
+                mesh=self._mesh)
             n_test = len(Xtest_clean)
         elif self._ski_engine is not None:
             u_ski = {k: v[0] for k, v in self.u.items()}
@@ -317,9 +339,11 @@ class skreconstructor:
             n_test = len(Xtest_clean)
         else:
             chunks, n_test = _chunks()
+            chunks_d, u, Xd, yd, maskd = _placed(
+                chunks, self.u, self._Xd, self._yd, self._maskd)
             mean, var = multi.predict_independent(
-                self.u, self._Xd, self._yd[:, None], self._maskd,
-                self._bounds(), jit, jnp.asarray(chunks),
+                u, Xd, yd[:, None], maskd,
+                self._bounds(), jit, chunks_d,
                 kernel=self.kernel_type)
             mean, var = mean[:, 0], var[:, 0]
         mean = np.array(mean)[:n_test]

@@ -18,7 +18,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["get_mesh", "shard_batch", "local_device_count"]
+__all__ = ["get_mesh", "resolve_mesh", "shard_batch", "replicate",
+           "shard_chunk_rows", "local_device_count"]
 
 
 def local_device_count():
@@ -33,7 +34,45 @@ def get_mesh(n_devices=None, axis_name="grid"):
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def resolve_mesh(mesh_arg, axis_name="grid"):
+    """Normalize the public ``mesh=`` kwarg of the reconstructors.
+
+    True -> all devices on a 1D ``axis_name`` mesh; an int -> the first n
+    devices; an existing Mesh (which must carry ``axis_name``) -> as-is.
+    """
+    if isinstance(mesh_arg, Mesh):
+        if axis_name not in mesh_arg.shape:
+            raise ValueError(
+                "mesh must have a %r axis; got axes %r"
+                % (axis_name, tuple(mesh_arg.shape)))
+        return mesh_arg
+    n = None if mesh_arg is True else int(mesh_arg)
+    return get_mesh(n, axis_name)
+
+
 def shard_batch(arr, mesh, axis_name="grid"):
     """Place ``arr`` with its leading axis sharded over ``axis_name``."""
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.device_put(arr, sharding)
+
+
+def replicate(tree, mesh):
+    """Replicate every array of a pytree on the mesh. Needed to co-locate
+    replicated operands (factorizations, hyperparameters) with sharded ones
+    in a single jitted program - a committed single-device array mixed with
+    mesh-sharded arguments is a placement error."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), tree)
+
+
+def shard_chunk_rows(chunks, mesh, axis_name="grid"):
+    """Shard the row axis of (n_chunks, chunk, ...) prediction tiles over the
+    mesh - the embarrassingly-parallel layout for GP prediction. Returns the
+    array unchanged (replicated) when the chunk size does not divide the mesh
+    axis (e.g. 3- or 6-device meshes)."""
+    n_dev = mesh.shape[axis_name]
+    if chunks.shape[1] % n_dev:
+        return jax.device_put(chunks, NamedSharding(mesh, P()))
+    spec = [None] * chunks.ndim
+    spec[1] = axis_name
+    return jax.device_put(chunks, NamedSharding(mesh, P(*spec)))

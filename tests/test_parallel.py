@@ -97,6 +97,97 @@ def test_vreconstructor_mesh_kwarg_matches_unsharded():
     assert_allclose(h1["lengthscale"], h2["lengthscale"], rtol=1e-5)
 
 
+def _toy_recon_data(n=14, missing=60, seed=3):
+    from gpim_tpu.utils import gridutils
+    rng = np.random.RandomState(seed)
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    R = np.exp(-((xx - n / 2) ** 2 + (yy - n / 2) ** 2) / n).astype(float)
+    Rn = R.copy()
+    Rn.ravel()[rng.choice(n * n, missing, replace=False)] = np.nan
+    return gridutils.get_sparse_grid(Rn), Rn, gridutils.get_full_grid(Rn)
+
+
+def test_reconstructor_mesh_exact_matches_unsharded():
+    """Flagship path: reconstructor(mesh=...) shards prediction tiles over
+    'grid' and must reproduce the single-device numbers (same math, new
+    layout)."""
+    from gpim_tpu import reconstructor
+    X, Rn, Xf = _toy_recon_data()
+    kw = dict(kernel="RBF", iterations=8, verbose=0, precision="single")
+    m1, s1, h1 = reconstructor(X, Rn, Xf, **kw).run()
+    m2, s2, h2 = reconstructor(X, Rn, Xf, mesh=8, **kw).run()
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+    assert_allclose(h1["lengthscale"], h2["lengthscale"], rtol=1e-6)
+
+
+def test_reconstructor_mesh_vfe_matches_unsharded():
+    """Sparse (VFE) training shards the data rows - the psum-reduced B
+    construction must agree with the replicated program, and so must the
+    trained inducing points."""
+    from gpim_tpu import reconstructor
+    X, Rn, Xf = _toy_recon_data()
+    kw = dict(kernel="RBF", iterations=8, verbose=0, precision="single",
+              sparse=True, indpoints=20)
+    r1 = reconstructor(X, Rn, Xf, **kw)
+    m1, s1, h1 = r1.run()
+    r2 = reconstructor(X, Rn, Xf, mesh=8, **kw)
+    m2, s2, h2 = r2.run()
+    assert_allclose(m1, m2, rtol=1e-4, atol=1e-5)
+    assert_allclose(s1, s2, rtol=1e-3, atol=1e-5)
+    assert_allclose(np.asarray(r1.u["Xu"]), np.asarray(r2.u["Xu"]),
+                    rtol=1e-4, atol=1e-5)
+
+
+def test_boptimizer_mesh_kwarg():
+    """BO drives the sharded surrogate end-to-end (train -> full-grid
+    acquisition -> retrain) without placement errors."""
+    from gpim_tpu import boptimizer
+    from gpim_tpu.utils import gridutils
+
+    def trial(idx):
+        return float(np.exp(-((idx[0] - 5.) ** 2 + (idx[1] - 5.) ** 2) / 8))
+
+    grid = np.full((12, 12), np.nan)
+    rng = np.random.RandomState(1)
+    for i, j in rng.randint(0, 12, (5, 2)):
+        grid[i, j] = trial((i, j))
+    X = gridutils.get_sparse_grid(grid)
+    Xf = gridutils.get_full_grid(grid)
+    bo = boptimizer(X, grid, Xf, trial, acquisition_function="cb",
+                    exploration_steps=2, gp_iterations=5, verbose=0,
+                    mesh=8)
+    bo.run()
+    assert bo.steps_done == 2
+    assert np.isfinite(bo.vals_all).all()
+
+
+def test_skreconstructor_mesh_matches_unsharded():
+    """Dense and Kronecker-exact skreconstructor prediction shard over
+    'grid' and must match the single-device result."""
+    from gpim_tpu import skreconstructor
+    # dense path (masked data)
+    X, Rn, Xf = _toy_recon_data()
+    kw = dict(iterations=5, verbose=0, precision="single", ski=False)
+    m1, s1, _ = skreconstructor(X, Rn, Xf, **kw).run()
+    m2, s2, _ = skreconstructor(X, Rn, Xf, mesh=8, **kw).run()
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+    # Kronecker-exact path (full grid, forced via ski_min_points)
+    from gpim_tpu.utils import gridutils
+    R = np.add.outer(np.sin(np.arange(12) / 3.), np.cos(np.arange(12) / 4.))
+    Xg = gridutils.get_full_grid(R)
+    kw = dict(iterations=5, verbose=0, precision="single", ski=True,
+              ski_min_points=1)
+    k1 = skreconstructor(Xg, R, Xg, **kw)
+    assert k1._kron_engine is not None
+    m1, s1, _ = k1.run()
+    k2 = skreconstructor(Xg, R, Xg, mesh=8, **kw)
+    m2, s2, _ = k2.run()
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+
+
 def test_vreconstructor_mesh_indivisible_falls_back():
     import warnings as _w
     from gpim_tpu.gpreg.vgpr import vreconstructor
