@@ -231,28 +231,89 @@ def _corr_factorize(u, X, Y, bounds, jitter, kernel):
     return p, Kx, lam_b, Qb, Ls, alphas, Yc
 
 
-def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
-    """Dense Kronecker MLL for training.
+@jax.custom_vjp
+def _kron_mt_core(Kx, B, noise, Yc):
+    """0.5 y^T A^-1 y + 0.5 logdet A for the Kronecker multitask system
+    A = Kx (x) B + noise I, with vec(Yc) in row-major (n, T) ordering.
 
-    The eigh(B) rotation used at prediction time has unstable *gradients*
-    when task-covariance eigenvalues collide (the rank-1 + diagonal init has
-    T-1 exactly repeated eigenvalues, so d eigh terms 1/(lam_i - lam_j) blow
-    up); Cholesky of the materialized (nT x nT) system has smooth gradients
-    and is cheap at the problem sizes vgpr targets (n*T of a few thousand).
+    O(T n^3) instead of O((nT)^3): eigh(B) (T x T, tiny) rotates the task
+    basis so A block-decouples into T systems lam_t Kx + noise I, factorized
+    by ONE batched Cholesky on the MXU. The naive route - autodiff through
+    the rotation - is unstable when task-covariance eigenvalues collide (the
+    rank-1 + diagonal init has T-1 exactly repeated eigenvalues, so eigh's
+    1/(lam_i - lam_j) VJP terms blow up). This custom VJP instead emits the
+    CLOSED-FORM total derivatives, which contain no eigenvector
+    sensitivities:
+
+        dL/dB     = 0.5 Qb (diag(c) - S) Qb^T,   c_t = tr(A_t^-1 Kx),
+                                                 S   = at^T Kx at
+        dL/dKx    = 0.5 (sum_t lam_t A_t^-1  -  at diag(lam) at^T)
+        dL/dnoise = 0.5 (sum_t tr(A_t^-1) - |at|^2)
+        dL/dYc    = at Qb^T                       (at = A_t^-1 [Yc Qb]_t)
+
+    Each expression is invariant under re-choice of eigenvectors inside a
+    degenerate eigenvalue block (c_t is constant there and S transforms as a
+    2-tensor), so repeated eigenvalues are harmless - the same trick
+    ops/kron_exact.py uses for its per-dim rotations.
     """
+    out, _ = _kron_mt_fwd(Kx, B, noise, Yc)
+    return out
+
+
+def _kron_mt_fwd(Kx, B, noise, Yc):
+    n = Kx.shape[0]
+    lam_b, Qb = jnp.linalg.eigh(B)
+    lam_b = jnp.maximum(lam_b, 1e-12)
+    Yt = Yc @ Qb                                   # rotated targets (n, T)
+    eye = jnp.eye(n, dtype=Kx.dtype)
+
+    def factor_one(lam, yt):
+        L = jnp.linalg.cholesky(lam * Kx + noise * eye)
+        at = cho_solve((L, True), yt)
+        return L, at, jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    Ls, at, half_logdets = jax.vmap(
+        factor_one, in_axes=(0, 1), out_axes=(0, 1, 0))(lam_b, Yt)
+    out = 0.5 * jnp.sum(Yt * at) + jnp.sum(half_logdets)
+    return out, (Kx, lam_b, Qb, Ls, at)
+
+
+def _kron_mt_bwd(res, g):
+    Kx, lam_b, Qb, Ls, at = res
+    n = Kx.shape[0]
+    eye = jnp.eye(n, dtype=Kx.dtype)
+
+    def inv_one(L):
+        V = solve_triangular(L, eye, lower=True)
+        # bf16x3 suffices for gradient-reduction fidelity (engine.py policy)
+        return jnp.dot(V.T, V, precision=jax.lax.Precision.HIGH)
+
+    Inv = jax.vmap(inv_one)(Ls)                           # (T, n, n)
+    c = jnp.sum(Inv * Kx[None], axis=(1, 2))              # tr(A_t^-1 Kx)
+    S = at.T @ (Kx @ at)                                  # (T, T)
+    dB = 0.5 * g * (Qb @ (jnp.diag(c) - S) @ Qb.T)
+    dKx = 0.5 * g * (jnp.einsum("t,tij->ij", lam_b, Inv)
+                     - (at * lam_b[None, :]) @ at.T)
+    dnoise = 0.5 * g * (jnp.sum(jax.vmap(jnp.trace)(Inv))
+                        - jnp.sum(at * at))
+    dYc = g * (at @ Qb.T)
+    return dKx, dB, dnoise, dYc
+
+
+_kron_mt_core.defvjp(_kron_mt_fwd, _kron_mt_bwd)
+
+
+def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
+    """Kronecker multitask MLL, O(T n^3) via the decoupled custom-VJP core
+    (reference vgpr.py:310-312 regime, where GPyTorch materializes lazy
+    (nT x nT) algebra)."""
     kfn = get_kernel_fn(kernel)
     p = _constrain_corr(u, bounds)
     n, T = Y.shape
     B = _task_cov(p)
     Kx = kfn(p, X, X)
-    Kbig = (Kx[:, None, :, None] * B[None, :, None, :]).reshape(n * T, n * T)
-    A = Kbig + (p["noise"] + jitter) * jnp.eye(n * T, dtype=X.dtype)
-    L = jnp.linalg.cholesky(A)
-    yc = (Y - p["mean"][None, :]).reshape(-1)
-    # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
-    z = solve_triangular(L, yc, lower=True)
-    nll = (0.5 * jnp.dot(z, z)
-           + jnp.sum(jnp.log(jnp.diagonal(L)))
+    Yc = Y - p["mean"][None, :]
+    nll = (_kron_mt_core(Kx, B, p["noise"] + jitter, Yc)
            + 0.5 * n * T * _LOG_2PI)
     return nll - interval_log_jacobian(
         u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"])

@@ -151,6 +151,96 @@ def test_correlated_matches_dense_kronecker():
     assert_allclose(var, var_ref, rtol=1e-6, atol=1e-8)
 
 
+def test_corr_loss_gradients_match_dense():
+    """The O(T n^3) custom-VJP training loss must match value AND gradients
+    of the dense (nT x nT) Cholesky loss - including at a task covariance
+    with exactly repeated eigenvalues (rank-1 F + equal diagonal), the case
+    where autodiff through eigh(B) is singular."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from gpim_tpu.gpreg import multi
+    from gpim_tpu.kernels.functional import get_kernel_fn
+    from gpim_tpu.kernels.transforms import (
+        interval_inverse, positive_inverse, interval_log_jacobian)
+
+    rng = np.random.RandomState(7)
+    n, d_in, T = 20, 2, 4
+    X = jnp.asarray(rng.rand(n, d_in) * 4)
+    Y = jnp.asarray(rng.rand(n, T))
+    bounds = {"ls_lo": jnp.zeros(d_in), "ls_hi": jnp.full(d_in, 6.0)}
+    jitter = jnp.asarray(1e-8)
+
+    def dense_loss(u, X, Y, bounds, jitter, *, kernel):
+        import math
+        kfn = get_kernel_fn(kernel)
+        p = multi._constrain_corr(u, bounds)
+        n_, T_ = Y.shape
+        B = multi._task_cov(p)
+        Kx = kfn(p, X, X)
+        Kbig = (Kx[:, None, :, None] * B[None, :, None, :]
+                ).reshape(n_ * T_, n_ * T_)
+        A = Kbig + (p["noise"] + jitter) * jnp.eye(n_ * T_, dtype=X.dtype)
+        L = jnp.linalg.cholesky(A)
+        yc = (Y - p["mean"][None, :]).reshape(-1)
+        from jax.scipy.linalg import solve_triangular
+        z = solve_triangular(L, yc, lower=True)
+        nll = (0.5 * jnp.dot(z, z)
+               + jnp.sum(jnp.log(jnp.diagonal(L)))
+               + 0.5 * n_ * T_ * math.log(2.0 * math.pi))
+        return nll - interval_log_jacobian(
+            u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"])
+
+    # rank-1 F and EQUAL task_var: B has T-1 exactly repeated eigenvalues
+    u = {
+        "lengthscale": interval_inverse(
+            jnp.full(d_in, 1.5), bounds["ls_lo"], bounds["ls_hi"]),
+        "noise": positive_inverse(jnp.asarray(0.2)),
+        "mean": jnp.asarray(rng.rand(T) * 0.1),
+        "F": jnp.asarray(rng.rand(T, 1)),
+        "task_var": jnp.full((T,), positive_inverse(jnp.asarray(0.7))),
+    }
+    v1, g1 = jax.value_and_grad(
+        partial(multi._corr_loss, kernel="RBF"))(u, X, Y, bounds, jitter)
+    v2, g2 = jax.value_and_grad(
+        partial(dense_loss, kernel="RBF"))(u, X, Y, bounds, jitter)
+    assert_allclose(float(v1), float(v2), rtol=1e-8)
+    for k in u:
+        assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                        rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+def test_corr_train_moderate_scale():
+    """The decoupled loss trains at n*T sizes where the dense (nT)^2 system
+    would be prohibitive (50k x 50k = 20 GB); memory here is T n^2."""
+    import jax.numpy as jnp
+    from gpim_tpu.gpreg import multi
+    from gpim_tpu.kernels.transforms import interval_inverse, positive_inverse
+
+    rng = np.random.RandomState(0)
+    n, d_in, T = 2000, 2, 5                      # nT = 10k on CPU tests
+    X = jnp.asarray(rng.rand(n, d_in) * 10, jnp.float32)
+    Y = jnp.asarray(rng.rand(n, T), jnp.float32)
+    bounds = {"ls_lo": jnp.zeros(d_in, jnp.float32),
+              "ls_hi": jnp.full(d_in, 6.0, jnp.float32)}
+    one = jnp.asarray(1.0, jnp.float32)
+    u = {
+        "lengthscale": interval_inverse(
+            jnp.full(d_in, 1.5, jnp.float32),
+            bounds["ls_lo"], bounds["ls_hi"]),
+        "noise": positive_inverse(one),
+        "mean": jnp.zeros(T, jnp.float32),
+        "F": jnp.asarray(0.1 * rng.rand(T, 1), jnp.float32),
+        "task_var": jnp.full((T,), positive_inverse(one)),
+    }
+    u2, traj = multi.train_correlated(
+        u, X, Y, bounds, jnp.asarray(0.05, jnp.float32),
+        jnp.asarray(1e-4, jnp.float32), kernel="RBF", iterations=2)
+    losses = np.asarray(traj["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[1] <= losses[0]
+
+
 def test_vgpr_nan_row_dropping():
     """Rows with any NaN channel are dropped (gprutils.py:53-55 parity)."""
     X, Y = get_vector_data(nan_frac=0.5)
