@@ -314,6 +314,22 @@ def plot_inducing_points(hyperparams, **kwargs):
         raise NotImplementedError('Supports only 2D and 3D datasets')
 
 
+def _iteration_colorbar(fig, ax, n_steps, cmap, label):
+    """Attach a 0..n_steps colorbar to ``ax`` via a ScalarMappable.
+
+    The reference draws its colorbars by imshow-ing a hidden gradient strip
+    into a hand-placed axes (gprutils.py:845-860, 896-911, 929-937); a
+    mappable over an explicit Normalize is the direct way to express the
+    same legend.
+    """
+    sm = plt.cm.ScalarMappable(cmap=cmap,
+                               norm=plt.Normalize(vmin=0, vmax=n_steps))
+    sm.set_array([])
+    cb = fig.colorbar(sm, ax=ax, orientation='vertical')
+    cb.set_label(label, fontsize=14, labelpad=10)
+    return cb
+
+
 def _ip_window(hyperparams, kwargs):
     pts = np.asarray(hyperparams['inducing_points'])
     plot_from = kwargs.get('plot_from') or 0
@@ -322,26 +338,30 @@ def _ip_window(hyperparams, kwargs):
     return pts[plot_from:plot_to], nth
 
 
+def _plot_inducing_trajectories(ax, pts, nth, three_d):
+    """Scatter every recorded inducing-point snapshot, one color per
+    training iteration (output parity with gprutils.py:838-843, 888-893)."""
+    colors = plt.cm.jet(np.linspace(0, 1, len(pts)))
+    for snapshot, c in zip(pts, colors):
+        cols = np.asarray(snapshot).T
+        if three_d:
+            ax.scatter(cols[0][::nth], cols[1][::nth], cols[2][::nth],
+                       c=[c], s=.15)
+        else:
+            # snapshot rows are (row, col) grid indices; plot col as x
+            ax.scatter(cols[1][::nth], cols[0][::nth], c=[c], s=.15)
+
+
 def plot_inducing_points_2d(hyperparams, **kwargs):
     """2D inducing-point trajectories colored by iteration
     (reference gprutils.py:819-861)."""
     pts, nth = _ip_window(hyperparams, kwargs)
-    fig = plt.figure(figsize=(20, 9))
-    ax = fig.add_subplot(121)
+    fig, ax = plt.subplots(figsize=(10, 9))
     ax.set_xlabel('x coordinate (px)', fontsize=14)
     ax.set_ylabel('y coordinate (px)', fontsize=14)
     ax.set_title('Evolution of inducing points', fontsize=16)
-    ax.set_aspect('auto')
-    colors = plt.cm.jet(np.linspace(0, 1, len(pts)))
-    for xy, c in zip(pts, colors):
-        y, x = np.asarray(xy).T
-        ax.scatter(x[::nth], y[::nth], c=[c], s=.15)
-    clrbar = np.linspace(0, len(pts)).reshape(-1, 1)
-    ax2 = fig.add_axes([.42, .1, .1, .8])
-    img = plt.imshow(clrbar, cmap="jet")
-    plt.gca().set_visible(False)
-    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
-    cb.set_label('training iterations', fontsize=14, labelpad=10)
+    _plot_inducing_trajectories(ax, pts, nth, three_d=False)
+    _iteration_colorbar(fig, ax, len(pts), 'jet', 'training iterations')
     plt.show()
 
 
@@ -349,41 +369,28 @@ def plot_inducing_points_3d(hyperparams, **kwargs):
     """3D inducing-point trajectories colored by iteration
     (reference gprutils.py:864-912)."""
     pts, nth = _ip_window(hyperparams, kwargs)
-    fig = plt.figure(figsize=(22, 9))
-    ax = fig.add_subplot(121, projection='3d')
+    fig = plt.figure(figsize=(11, 9))
+    ax = fig.add_subplot(111, projection='3d')
     ax.view_init(20, 30)
     ax.set_xlabel('x coordinate (px)', fontsize=14)
     ax.set_ylabel('y coordinate (px)', fontsize=14)
     ax.set_zlabel('frequency (px)', fontsize=14)
     ax.set_title('Evolution of inducing points', fontsize=16)
-    ax.set_aspect('auto')
-    colors = plt.cm.jet(np.linspace(0, 1, len(pts)))
-    for xyz, c in zip(pts, colors):
-        x, y, z = np.asarray(xyz).T
-        ax.scatter(x[::nth], y[::nth], z[::nth], c=[c], s=.15)
-    clrbar = np.linspace(0, len(pts)).reshape(-1, 1)
-    ax2 = fig.add_axes([.37, .1, .1, .8])
-    img = plt.imshow(clrbar, cmap="jet")
-    plt.gca().set_visible(False)
-    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
-    cb.set_label('training iterations', fontsize=14, labelpad=10)
+    _plot_inducing_trajectories(ax, pts, nth, three_d=True)
+    _iteration_colorbar(fig, ax, len(pts), 'jet', 'training iterations')
     plt.show()
 
 
 def plot_query_points(inds_all, **kwargs):
-    """BO exploration path over the 2D grid (reference gprutils.py:915-938)."""
+    """BO exploration path over the 2D grid, colored by step order
+    (output parity with reference gprutils.py:915-938)."""
     cmap = kwargs.get("cmap", "cool")
     plot_lines = kwargs.get("plot_lines", False)
-    inds_all = np.array(inds_all)
-    cvals = np.arange(len(inds_all))
-    clrbar = np.linspace(0, len(inds_all)).reshape(-1, 1)
-    fig, ax1 = plt.subplots(1, 1, figsize=(6, 6))
-    ax1.scatter(inds_all[:, 1], inds_all[:, 0], c=cvals, cmap=cmap)
+    inds_all = np.asarray(inds_all)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    rows, cols = inds_all[:, 0], inds_all[:, 1]
     if plot_lines:
-        ax1.plot(inds_all[:, 1], inds_all[:, 0])
-    ax2 = fig.add_axes([.78, .1, .2, .8])
-    img = plt.imshow(clrbar, cmap)
-    plt.gca().set_visible(False)
-    cb = plt.colorbar(img, ax=ax2, orientation='vertical')
-    cb.set_label('Exploration steps', fontsize=14, labelpad=10)
+        ax.plot(cols, rows, lw=.75, alpha=.6, zorder=1)
+    ax.scatter(cols, rows, c=np.arange(len(inds_all)), cmap=cmap, zorder=2)
+    _iteration_colorbar(fig, ax, len(inds_all), cmap, 'Exploration steps')
     plt.show()
