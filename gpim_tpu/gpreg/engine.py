@@ -33,9 +33,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
-from jax.scipy.linalg import cho_solve, solve_triangular
+from jax.scipy.linalg import solve_triangular
 
 from gpim_tpu.kernels.functional import get_kernel_fn, kernel_diag
+from gpim_tpu.ops.tri import tri_inverse
 from gpim_tpu.kernels.transforms import (
     interval_forward, interval_log_jacobian, positive_forward)
 
@@ -198,25 +199,26 @@ def _nll_fast_fwd(kernel, p, X, y, mask, jitter):
         A = _masked_system(Kt, p["noise"], mask, jitter)
         s_res = None if kernel == "RBF" else s
     L = jnp.linalg.cholesky(A)
+    # V = L^-1 via the batched-bisection inverse (ops/tri.py). Computing it
+    # here (rather than a 1-rhs trsm for z now and a trsm-vs-identity in the
+    # backward) turns both solves into gemms: XLA's 1-rhs trsm alone is an
+    # n/128-step latency chain. _nll_fast is only ever evaluated under
+    # value_and_grad in the training scan, so the inverse is never wasted.
+    V = tri_inverse(L)
     ym = y * mask
-    z = solve_triangular(L, ym, lower=True)
+    z = V @ ym
     n_eff = jnp.sum(mask)
     nll = (0.5 * jnp.dot(z, z)
            + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
            + 0.5 * n_eff * _LOG_2PI)
-    return nll, (p, X, mask, L, Kt, s_res, z, jitter)
+    return nll, (p, X, mask, V, Kt, s_res, z, jitter)
 
 
 def _nll_fast_bwd(kernel, res, g):
-    p, X, mask, L, Kt, s, z, jitter = res
+    p, X, mask, V, Kt, s, z, jitter = res
     n = X.shape[0]
     v = p["variance"]
-    alpha = solve_triangular(L, z, lower=True, trans=1)   # A^-1 (y . m)
-    # NOTE: a gemm-dominated bisection inverse (ops/blocked_chol.py
-    # inv_from_cholesky) was tried here and measured SLOWER end-to-end
-    # (3.68 -> 4.03 s flagship bench): its per-level concatenates add n^2
-    # HBM copies that outweigh the trsm->gemm flop win. Keep trsm + syrk.
-    V = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    alpha = V.T @ z                                   # A^-1 (y . m)
     # bf16x3 keeps ~f32 fidelity for this inner-product accumulation and is
     # ~2x faster than the package-default 6-pass "highest"; Ainv only feeds
     # gradient reductions, where 1e-6-relative accuracy is ample for Adam
@@ -378,13 +380,16 @@ def predict_exact(u, X, y, mask, bounds, jitter, Xtest_chunks, *,
     p = constrain(u, bounds)
     A = _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
     L = jnp.linalg.cholesky(A)
-    alpha = cho_solve((L, True), y * mask)
+    # one explicit L^-1 up front turns every per-chunk triangular solve
+    # below into a plain gemm (XLA trsm is an n/128-step latency chain)
+    V = tri_inverse(L)
+    alpha = V.T @ (V @ (y * mask))
 
     def one(xc):
         Ks = kfn(p, xc, X) * mask[None, :]
         mean = Ks @ alpha
-        V = solve_triangular(L, Ks.T, lower=True)
-        var = kernel_diag(kernel, p, xc) - jnp.sum(V * V, axis=0)
+        W = V @ Ks.T
+        var = kernel_diag(kernel, p, xc) - jnp.sum(W * W, axis=0)
         if not noiseless:
             var = var + p["noise"]
         return mean, jnp.maximum(var, 0.0)
