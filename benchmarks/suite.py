@@ -42,15 +42,25 @@ def bench_spiral_2d():
     Xf = utils.get_full_grid(R)
     iters = 25 if QUICK else 250
 
+    model_box = {}
+
     def run():
-        return reconstructor(X, R, Xf, kernel="RBF", iterations=iters,
-                             verbose=0, precision="single").run()
+        m = reconstructor(X, R, Xf, kernel="RBF", iterations=iters,
+                          verbose=0, precision="single")
+        model_box["m"] = m
+        return m.run()
 
     warm, (mean, sd, hp) = _timed(run)
     obs = ~np.isnan(R)
     rmse = float(np.sqrt(np.mean((mean[obs] - R[obs]) ** 2)))
+    # effective training throughput: per-iteration model flops of the
+    # closed-form exact MLL step = chol n^3/3 + L^-1 n^3/3 (gemm-equivalent)
+    # + A^-1 syrk n^3 + O(n^2 d) reductions (engine._nll_fast / ops/tri.py)
+    n_pad = int(model_box["m"]._Xd.shape[0])
+    flops = iters * (n_pad ** 3 * (1.0 / 3 + 1.0 / 3 + 1.0))
     return {"metric": "spiral128_exactgp_recon_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "rmse_obs": round(rmse, 4)}
+            "unit": "s", "iterations": iters, "rmse_obs": round(rmse, 4),
+            "train_eff_tflops": round(flops / warm / 1e12, 2)}
 
 
 def bench_bo_ei():
@@ -99,19 +109,27 @@ def bench_bepfm_3d_sparse():
     Xf = utils.get_full_grid(R)
     iters = 40 if QUICK else 400
 
+    model_box = {}
+
     def run():
-        return reconstructor(X, R, Xf, kernel="Matern52", sparse=True,
-                             indpoints=1000, learning_rate=0.05,
-                             iterations=iters, verbose=0,
-                             precision="single").run()
+        m = reconstructor(X, R, Xf, kernel="Matern52", sparse=True,
+                          indpoints=1000, learning_rate=0.05,
+                          iterations=iters, verbose=0,
+                          precision="single")
+        model_box["m"] = m
+        return m.run()
 
     warm, (mean, sd, hp) = _timed(run)
     tnorm = (truth - truth.min()) / np.ptp(truth)
     mnorm = (mean - truth.min()) / np.ptp(truth)
     rmse = float(np.sqrt(np.mean((mnorm - tnorm) ** 2)))
+    # VFE per-iteration model flops ~ 4 n m^2 (Kmn solve + B syrk, fwd+bwd)
+    n_pad = int(model_box["m"]._Xd.shape[0])
+    flops = iters * 4.0 * n_pad * 1000 ** 2
     return {"metric": "bepfm3d_vfe_recon_wall", "value": round(warm, 3),
             "unit": "s", "iterations": iters,
-            "rmse_vs_truth": round(rmse, 4)}
+            "rmse_vs_truth": round(rmse, 4),
+            "train_eff_tflops": round(flops / warm / 1e12, 2)}
 
 
 def bench_eels_parallel():
@@ -165,8 +183,87 @@ def bench_ckpfm_4d_ski():
             "unit": "s", "iterations": iters, "rmse_fit": round(rmse, 4)}
 
 
+def bench_ski_masked_3d():
+    """#6 (new, no reference counterpart runs at this scale): 64x64x32
+    BEPFM-style cube, 70% of (x, y) spectra removed, trained end-to-end
+    through the SKI CG+SLQ engine with the Kronecker-eigen preconditioner
+    (the regime of reference skgpr.py:436-440 at sizes where dense exact
+    inference is no longer an option)."""
+    import gpim_tpu
+    from gpim_tpu import utils, skreconstructor
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(2)
+    shape = (64, 64, 32)
+    f = gaussian_filter(rng.randn(*shape), sigma=(4, 4, 2))
+    f = (f - f.min()) / (f.max() - f.min())
+    R = f + 0.02 * rng.randn(*shape)
+    sites = rng.choice(shape[0] * shape[1],
+                       int(0.7 * shape[0] * shape[1]), replace=False)
+    R.reshape(-1, shape[2])[sites] = np.nan
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    iters = 5 if QUICK else 30
+
+    def run():
+        return skreconstructor(X, R, Xf, kernel="RBF", ski=True,
+                               learning_rate=0.1, iterations=iters,
+                               verbose=0).run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    rmse = float(np.sqrt(np.mean((mean.reshape(shape) - f) ** 2)))
+    n_obs = int((~np.isnan(R)).sum())
+    return {"metric": "ski_masked64x64x32_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters, "n_obs": n_obs,
+            "s_per_iter": round(warm / iters, 3),
+            "rmse_vs_truth": round(rmse, 4)}
+
+
+def bench_component_tflops():
+    """Hot-op microbenchmarks at the flagship working size (n = 4224):
+    the kernel/Cholesky TFLOP/s metrics BASELINE.json asks for."""
+    import jax
+    import jax.numpy as jnp
+    from gpim_tpu.ops.tri import tri_inverse
+
+    def t(fn, *a, iters=30):
+        r = fn(*a)
+        float(jnp.sum(r))
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(*a)
+        float(jnp.sum(r))
+        return (time.time() - t0) / iters
+
+    n = 4224
+    key = jax.random.PRNGKey(0)
+    Xr = jax.random.normal(key, (n, 64), jnp.float32)
+    A = Xr @ Xr.T + n * jnp.eye(n, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(A)
+    f3 = float(n) ** 3
+    out = {"metric": "component_tflops", "n": n}
+    tt = t(jax.jit(jnp.linalg.cholesky), A)
+    out["cholesky_tflops"] = round(f3 / 3 / tt / 1e12, 1)
+    tt = t(jax.jit(tri_inverse), L)
+    out["tri_inverse_tflops"] = round(f3 / 3 / tt / 1e12, 1)
+    syrk = jax.jit(lambda V: jnp.dot(V.T, V,
+                                     precision=jax.lax.Precision.HIGH))
+    tt = t(syrk, L)
+    out["syrk_bf16x3_tflops"] = round(f3 / tt / 1e12, 1)
+    gemm = jax.jit(lambda a, b: jnp.dot(a, b,
+                                        precision=jax.lax.Precision.HIGH))
+    tt = t(gemm, A, A)
+    out["gemm_bf16x3_tflops"] = round(2 * f3 / tt / 1e12, 1)
+    gemmb = jax.jit(lambda a, b: jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32))
+    tt = t(gemmb, A, A)
+    out["gemm_bf16_tflops"] = round(2 * f3 / tt / 1e12, 1)
+    return out
+
+
 BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bepfm_3d_sparse,
-           bench_eels_parallel, bench_ckpfm_4d_ski]
+           bench_eels_parallel, bench_ckpfm_4d_ski, bench_ski_masked_3d,
+           bench_component_tflops]
 
 
 def main():

@@ -174,6 +174,7 @@ class skreconstructor:
                     np.asarray(self._maskd), grids,
                     cg_iters=int(kwargs.get("cg_iterations", 64)),
                     n_probes=int(kwargs.get("n_probes", 8)),
+                    precond_rank=int(kwargs.get("precond_rank", 512)),
                     rank=int(self.maxroot), seed=seed)
                 if self.verbose == 2:
                     print("SKI grid:", self._ski_engine.grid_shape)

@@ -9,6 +9,13 @@ The jitted programs are module-level (static over kernel / grid shape /
 iteration counts, with interpolation tensors passed as array arguments), so
 fresh model instances on the same problem shape reuse compiled executables
 instead of re-tracing.
+
+Training runs in SEGMENTS of a few Adam steps each: the Kronecker-eigen
+preconditioner (ops.ski.kron_eig_root) is rebuilt once per segment and the
+segment is one lax.scan program. A slightly stale preconditioner keeps every
+estimator unbiased (see ops.ski.ski_mll), costs only a little CG speed, and
+bounds single device-program run time - long monolithic programs both waste
+preconditioner rebuilds and can exceed executor limits.
 """
 
 from functools import partial
@@ -32,10 +39,10 @@ _LOG_2PI = float(np.log(2.0 * np.pi))
 from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
-def _loss(u, grids, idx, wgt, probes, y, mask_, bounds, jitter, *,
+def _loss(u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter, *,
           kernel, grid_shape, cg_iters):
     core = ski.ski_mll(kernel, list(grids), grid_shape, idx, wgt,
-                       cg_iters, probes)
+                       cg_iters, g0, g1)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -44,26 +51,37 @@ def _loss(u, grids, idx, wgt, probes, y, mask_, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     # the interval-transform log-Jacobian MAP term keeps the objective
     # identical to the dense path's (multi._iv_loss)
-    return (core(kp, noise_pj, yc)
+    return (core(kp, noise_pj, yc, Lp)
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
                 u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
 
 
+@partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
+def _build_precond(u, grids, idx, wgt, bounds, *, kernel, grid_shape, rank):
+    """Preconditioner root at the current hyperparameters (value-only)."""
+    if rank == 0:
+        return jnp.zeros((idx.shape[0], 0), wgt.dtype)
+    p = _constrain(u, bounds)
+    kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
+    return ski.kron_eig_root(kernel, kp, list(grids), grid_shape,
+                             idx, wgt, rank)
+
+
 @partial(jax.jit, static_argnames=(
     "kernel", "grid_shape", "cg_iters", "iterations"))
-def _train(u0, grids, idx, wgt, probes, y, mask_, bounds, lr, jitter, *,
-           kernel, grid_shape, cg_iters, iterations):
+def _train_seg(u0, opt_state, Lp, grids, idx, wgt, g0, g1, y, mask_,
+               bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
+               iterations):
     opt = optax.adam(learning_rate=lr)
-    opt_state = opt.init(u0)
     lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
                  cg_iters=cg_iters)
 
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(lf)(
-            u, grids, idx, wgt, probes, y, mask_, bounds, jitter)
+            u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
@@ -71,18 +89,19 @@ def _train(u0, grids, idx, wgt, probes, y, mask_, bounds, lr, jitter, *,
                "noise": p["noise"], "loss": loss}
         return (u, opt_state), rec
 
-    (u_final, _), traj = jax.lax.scan(
+    (u_final, opt_state), traj = jax.lax.scan(
         step, (u0, opt_state), None, length=iterations)
-    return u_final, traj
+    return u_final, opt_state, traj
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
-                                   "rank"))
+                                   "rank", "precond_rank"))
 def _predict(u, grids, idx, wgt, y, mask_, bounds, jitter,
              test_idx, test_wgt, key, *, kernel, grid_shape, cg_iters,
-             rank):
+             rank, precond_rank):
     predictor = ski.make_ski_predictor(
-        kernel, list(grids), grid_shape, idx, wgt, cg_iters, rank)
+        kernel, list(grids), grid_shape, idx, wgt, cg_iters, rank,
+        precond_rank=precond_rank)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -101,7 +120,8 @@ class SKIEngine:
     static per engine instance); the compiled programs are shared."""
 
     def __init__(self, kernel, X_pad, mask, grids, *,
-                 cg_iters=64, n_probes=8, rank=100, seed=0):
+                 cg_iters=64, n_probes=8, rank=100, precond_rank=512,
+                 segment=10, seed=0):
         self.kernel = kernel
         self.grids_np = grids
         self.grid_shape = tuple(len(g) for g in grids)
@@ -113,17 +133,42 @@ class SKIEngine:
         self.cg_iters = int(min(cg_iters, X_pad.shape[0]))
         self.rank = int(min(rank, X_pad.shape[0]))
         n_pad = X_pad.shape[0]
+        G = int(np.prod(self.grid_shape))
+        self.precond_rank = int(min(precond_rank, n_pad, G))
+        self.segment = int(segment)
         rng = np.random.default_rng(seed)
-        probes = rng.choice(np.asarray([-1.0, 1.0], X_pad.dtype),
-                            size=(n_pad, n_probes))
-        self._probes = jnp.asarray(probes)
+        # probe bases: SLQ probes are z = sqrt(noise) g0 + L_precond g1,
+        # giving E[z z^T] = P exactly (all the estimators need). Rademacher
+        # components have lower Hutchinson variance than Gaussians.
+        pm1 = np.asarray([-1.0, 1.0], X_pad.dtype)
+        self._g0 = jnp.asarray(rng.choice(pm1, size=(n_pad, n_probes)))
+        self._g1 = jnp.asarray(
+            rng.choice(pm1, size=(self.precond_rank, n_probes)))
         self._key = jax.random.PRNGKey(seed)
 
     def train(self, u0, y, mask_, bounds, lr, jitter, *, iterations):
-        return _train(u0, self._grids, self._idx, self._wgt, self._probes,
-                      y, mask_, bounds, lr, jitter,
-                      kernel=self.kernel, grid_shape=self.grid_shape,
-                      cg_iters=self.cg_iters, iterations=int(iterations))
+        """Segmented Adam optimization (see module docstring). Returns
+        (final params, full concatenated trajectory)."""
+        u = u0
+        opt_state = optax.adam(1.0).init(u0)   # adam state is lr-independent
+        trajs = []
+        remaining = int(iterations)
+        while remaining > 0:
+            s = min(self.segment, remaining)
+            Lp = _build_precond(
+                u, self._grids, self._idx, self._wgt, bounds,
+                kernel=self.kernel, grid_shape=self.grid_shape,
+                rank=self.precond_rank)
+            u, opt_state, traj = _train_seg(
+                u, opt_state, Lp, self._grids, self._idx, self._wgt,
+                self._g0, self._g1, y, mask_, bounds, lr, jitter,
+                kernel=self.kernel, grid_shape=self.grid_shape,
+                cg_iters=self.cg_iters, iterations=s)
+            trajs.append(traj)
+            remaining -= s
+        full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])
+                for k in trajs[0]}
+        return u, full
 
     def predict(self, u, y, mask, bounds, jitter, Xtest_clean):
         """Host wrapper: builds test interpolation tensors then runs the
@@ -135,4 +180,5 @@ class SKIEngine:
             u, self._grids, self._idx, self._wgt, y, mask, bounds, jitter,
             jnp.asarray(t_idx), jnp.asarray(t_wgt), self._key,
             kernel=self.kernel, grid_shape=self.grid_shape,
-            cg_iters=self.cg_iters, rank=self.rank)
+            cg_iters=self.cg_iters, rank=self.rank,
+            precond_rank=self.precond_rank)

@@ -78,3 +78,107 @@ def test_bo_finds_the_reference_optimum(acqf):
     ref_mean = float(np.nanmean(ref_grid))
     our_mean = float(np.nanmean(ours))
     assert our_mean >= 0.5 * ref_mean, (our_mean, ref_mean)
+
+
+def two_peak_func(idx, **kwargs):
+    """Global peak 1.0 at (18, 6), local peak 0.6 at (6, 18)."""
+    g = np.exp(-((idx[0] - 18.) ** 2 + (idx[1] - 6.) ** 2) / 10.0)
+    l = 0.6 * np.exp(-((idx[0] - 6.) ** 2 + (idx[1] - 18.) ** 2) / 10.0)
+    return g + l
+
+
+@pytest.mark.parametrize("acqf", ["ei", "poi"])
+def test_bo_two_peak_landscape(acqf):
+    """Second cross-implementation landscape (VERDICT r1 item 10): a
+    two-peak target where greedy exploitation of the first-found (local)
+    peak fails. The reference algorithm escapes via its gamma-decayed
+    distance memory (boptim.py:398-429); ours must too (improvement-based
+    acquisitions only - pure confidence-bound sampling has no
+    improvement signal and may legitimately settle on either peak)."""
+    np.random.seed(3)
+    x = np.arange(0, 25, 1.)
+    Z = two_peak_func([x[:, None], x])
+    idx = np.random.randint(0, 25, size=(2, 6))
+    Z_sparse = np.full_like(Z, np.nan)
+    Z_sparse[idx[0], idx[1]] = Z[idx[0], idx[1]]
+    X_full = utils.get_full_grid(Z_sparse)
+    X_sparse = utils.get_sparse_grid(Z_sparse)
+    bo = boptimizer(
+        X_sparse, Z_sparse, X_full, two_peak_func,
+        acquisition_function=acqf, exploration_steps=25,
+        gp_iterations=200, dscale=3.0, verbose=0)
+    bo.run()
+    ours = np.asarray(bo.target_func_vals[-1], dtype=float)
+    best = float(np.nanmax(ours))
+    loc = np.unravel_index(np.nanargmax(ours), ours.shape)
+    assert best > 0.9, (best, loc)                      # found the GLOBAL peak
+    assert abs(loc[0] - 18) <= 2 and abs(loc[1] - 6) <= 2, loc
+
+
+def _reference_ckdtree_batch(indices, values, dscale, batch_out_max):
+    """Direct transcription of the reference's cKDTree suppression loop
+    (boptim.py:356-366) used as the behavioral oracle."""
+    from scipy import spatial as sp
+    values = np.asarray(values, float).copy()
+    indices = np.vstack(indices)
+    minval = values.min()
+    new_max = values.max()
+    new_max_id = int(np.argmax(values))
+    out_ids = []
+    ck = indices[new_max_id]
+    tree = sp.cKDTree(indices)
+    while new_max > minval - 1:
+        out_ids.append(new_max_id)
+        nn = tree.query_ball_point(ck, dscale)
+        values[nn] = minval - 1
+        new_max = values.max()
+        new_max_id = int(np.argmax(values))
+        ck = indices[new_max_id]
+    return out_ids[:batch_out_max]
+
+
+@pytest.mark.parametrize("seed,d", [(0, 2), (1, 2), (2, 3)])
+def test_spaced_batch_matches_reference_ckdtree(seed, d):
+    """native.spatial.spaced_batch (C++ or numpy fallback) must select the
+    same points, in the same order, as the reference's cKDTree ball-query
+    loop on identical descending-ordered candidates."""
+    from gpim_tpu.native import spatial
+    rng = np.random.RandomState(seed)
+    n = 200
+    pts = rng.randint(0, 30, size=(n, d)).astype(float)
+    vals = np.sort(rng.rand(n))[::-1]          # strictly descending order
+    for dscale in (1.5, 3.0, 6.0):
+        ours = spatial.spaced_batch(pts, dscale, 10)
+        ref = _reference_ckdtree_batch(pts, vals, dscale, 10)
+        assert ours == ref, (dscale, ours, ref)
+
+
+def test_bo_batch_update_spacing():
+    """batch_update=True end to end: every returned batch must be
+    dscale-spaced (the lengthscale-spaced measurement batches of reference
+    boptim.py:326-376)."""
+    np.random.seed(0)
+    x = np.arange(0, 25, 1.)
+    Z = trial_func([x[:, None], x])
+    idx = np.random.randint(0, 25, size=(2, 5))
+    Z_sparse = np.full_like(Z, np.nan)
+    Z_sparse[idx[0], idx[1]] = Z[idx[0], idx[1]]
+    X_full = utils.get_full_grid(Z_sparse)
+    X_sparse = utils.get_sparse_grid(Z_sparse)
+    dscale = 4.0
+    bo = boptimizer(
+        X_sparse, Z_sparse, X_full, trial_func,
+        acquisition_function="ei", exploration_steps=3,
+        batch_update=True, batch_size=50, batch_dscale=dscale,
+        gp_iterations=100, verbose=0)
+    bo.run()
+    # measured points are stored flat: 3 steps x batch_out_max (default 10)
+    pts = np.asarray(bo.indices_all, float)
+    bmax = bo.batch_out_max
+    assert pts.shape[0] == 3 * bmax
+    for s in range(3):
+        batch = pts[s * bmax:(s + 1) * bmax]
+        # the greedy-suppressed prefix (before any random fill-up) must be
+        # pairwise dscale-separated; the first two are always greedy picks
+        dist = np.linalg.norm(batch[0] - batch[1])
+        assert dist > dscale, (s, dist, batch[:2])

@@ -112,29 +112,42 @@ def test_slq_logdet_accuracy():
     assert abs(float(est) - true_logdet) < 4.0 * sigma
 
 
-def test_ski_mll_value_and_grad():
+@pytest.mark.parametrize("precond_rank", [0, 12])
+def test_ski_mll_value_and_grad(precond_rank):
     """Loss value matches the dense MLL; trace-estimated gradients point
-    the same way as exact gradients (sign + rough magnitude)."""
+    the same way as exact gradients (sign + rough magnitude). Run both
+    unpreconditioned and with the pivoted-Cholesky preconditioner (N(0, P)
+    probes + exact logdet P split)."""
     X, grids, idx, wgt, p = _setup(n=50)
     n = X.shape[0]
     noise_pj = jnp.asarray(0.4)
     y = np.random.RandomState(3).rand(n)
-    core = ski.ski_mll("RBF", [jnp.asarray(g) for g in grids],
-                       tuple(len(g) for g in grids),
+    rng = np.random.default_rng(1)
+    g0 = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, 16)))
+    g1 = jnp.asarray(rng.choice([-1.0, 1.0], size=(precond_rank, 16)))
+    grids_j = [jnp.asarray(g) for g in grids]
+    gshape = tuple(len(g) for g in grids)
+    core = ski.ski_mll("RBF", grids_j, gshape,
                        jnp.asarray(idx), jnp.asarray(wgt),
-                       cg_iters=n,
-                       probes=jnp.asarray(np.random.default_rng(1).choice(
-                           [-1.0, 1.0], size=(n, 16))))
-    val = float(core(p, noise_pj, jnp.asarray(y)))
+                       n, g0, g1)
+    if precond_rank:
+        Lp = ski.kron_eig_root("RBF", p, grids_j, gshape,
+                               jnp.asarray(idx), jnp.asarray(wgt),
+                               precond_rank)
+    else:
+        Lp = jnp.zeros((n, 0))
+    val = float(core(p, noise_pj, jnp.asarray(y), Lp))
     A = _dense_operator("RBF", p, grids, idx, wgt, float(noise_pj))
     expected = 0.5 * y @ np.linalg.solve(A, y) + \
         0.5 * np.linalg.slogdet(A)[1]
     # the value embeds a 16-probe SLQ logdet estimate; compare within its
-    # statistical error bar (the quadratic term itself is CG-exact)
+    # statistical error bar. Gaussian probes z ~ N(0, P): the estimated term
+    # is tr(logm(P^-1/2 A P^-1/2)) with variance 2 ||logm(.)||_F^2 / p; the
+    # unpreconditioned bound (P = noise I) also bounds the preconditioned
+    # run, whose residual spectrum is strictly flatter.
     import scipy.linalg as sla
-    M = sla.logm(A)
-    offdiag = M - np.diag(np.diag(M))
-    sigma_val = 0.5 * np.sqrt(2.0 * (offdiag ** 2).sum() / 16)
+    M = sla.logm(A / float(noise_pj))
+    sigma_val = 0.5 * np.sqrt(2.0 * (M ** 2).sum() / 16)
     assert abs(val - expected) < 4.0 * sigma_val
 
     def dense_loss(p_, noise_):
@@ -155,7 +168,7 @@ def test_ski_mll_value_and_grad():
             jnp.sum(jnp.log(jnp.diagonal(L)))
 
     g_exact = jax.grad(dense_loss, argnums=(0, 1))(p, noise_pj)
-    g_est = jax.grad(lambda pp, nn: core(pp, nn, jnp.asarray(y)),
+    g_est = jax.grad(lambda pp, nn: core(pp, nn, jnp.asarray(y), Lp),
                      argnums=(0, 1))(p, noise_pj)
     for a, b in zip(jax.tree_util.tree_leaves(g_exact),
                     jax.tree_util.tree_leaves(g_est)):
@@ -230,3 +243,44 @@ def test_ski_model_end_to_end_on_grid():
     assert_allclose(np.asarray(mean_ski), mean_ref, rtol=0, atol=5e-3)
     # LOVE rank-128 variance: a few percent accuracy is the contract
     assert_allclose(np.asarray(var_ski), var_ref, rtol=0.1, atol=5e-3)
+
+
+def test_skreconstructor_masked_ski_end_to_end():
+    """NaN-masked off-grid workload trained END-TO-END through the SKI
+    CG+SLQ engine (forced small via ski_min_points) - reconstruction must
+    agree with the dense exact path and track the ground truth. This is the
+    regime of reference skgpr.py:436-440 (GridInterpolationKernel on masked
+    cubes); the preconditioned train path is SKIEngine.train."""
+    from scipy.ndimage import gaussian_filter
+    from gpim_tpu import utils
+    from gpim_tpu.gpreg.skgpr import skreconstructor
+
+    rng = np.random.RandomState(1)
+    shape = (14, 14, 6)
+    f = gaussian_filter(rng.randn(*shape), sigma=(2.5, 2.5, 1.2))
+    f = (f - f.min()) / (f.max() - f.min())
+    R = f + 0.02 * rng.randn(*shape)
+    sites = rng.choice(shape[0] * shape[1],
+                       int(0.5 * shape[0] * shape[1]), replace=False)
+    R.reshape(-1, shape[2])[sites] = np.nan
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    common = dict(kernel="RBF", iterations=40, learning_rate=0.1, verbose=0)
+
+    m_ski_model = skreconstructor(X, R, Xf, ski=True, ski_min_points=1,
+                                  **common)
+    assert m_ski_model._ski_engine is not None       # really the SKI path
+    m_ski, s_ski, hp_ski = m_ski_model.run()
+    m_d, s_d, _ = skreconstructor(X, R, Xf, ski=False, **common).run()
+
+    assert np.isfinite(m_ski).all() and np.isfinite(s_ski).all()
+    ls = np.asarray(hp_ski["lengthscale"])[-1].ravel()
+    assert np.isfinite(ls).all() and (ls > 0).all()
+    rmse_ski = float(np.sqrt(np.mean((m_ski.reshape(shape) - f) ** 2)))
+    rmse_d = float(np.sqrt(np.mean((m_d.reshape(shape) - f) ** 2)))
+    # tracks the truth and stays within striking distance of dense exact
+    assert rmse_ski < 0.08, rmse_ski
+    assert rmse_ski < rmse_d + 0.03, (rmse_ski, rmse_d)
+    # the two engines reconstruct the same surface
+    dis = float(np.sqrt(np.mean((m_ski - m_d) ** 2)))
+    assert dis < 0.05, dis
