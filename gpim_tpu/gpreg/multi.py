@@ -31,6 +31,7 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 from gpim_tpu.kernels.functional import get_kernel_fn, kernel_diag
 from gpim_tpu.kernels.transforms import (
     interval_forward, interval_log_jacobian, positive_forward)
+from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = [
     "train_independent", "predict_independent",
@@ -95,7 +96,7 @@ def _task_mll(p, X, yt, mask, jitter, kernel):
                                 mask, jitter)
     kfn = get_kernel_fn(kernel)
     A = _masked_gram(kfn, p, X, mask, jitter)
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     ym = (yt - p["mean"]) * mask
     # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
     z = solve_triangular(L, ym, lower=True)
@@ -163,7 +164,7 @@ def predict_independent(u, X, Y, mask, bounds, jitter, Xtest_chunks, *,
     def factorize(ut, yt):
         p = _constrain_task(ut, bounds)
         A = _masked_gram(kfn, p, X, mask, jitter)
-        L = jnp.linalg.cholesky(A)
+        L = safe_cholesky(A)
         alpha = cho_solve((L, True), (yt - p["mean"]) * mask)
         return p, L, alpha
 
@@ -223,7 +224,7 @@ def _corr_factorize(u, X, Y, bounds, jitter, kernel):
 
     def factor_one(lam, yt):
         A = lam * Kx + (p["noise"] + jitter) * eye
-        L = jnp.linalg.cholesky(A)
+        L = safe_cholesky(A)
         alpha = cho_solve((L, True), yt)
         return L, alpha
 
@@ -268,7 +269,7 @@ def _kron_mt_fwd(Kx, B, noise, Yc):
     eye = jnp.eye(n, dtype=Kx.dtype)
 
     def factor_one(lam, yt):
-        L = jnp.linalg.cholesky(lam * Kx + noise * eye)
+        L = safe_cholesky(lam * Kx + noise * eye)
         at = cho_solve((L, True), yt)
         return L, at, jnp.sum(jnp.log(jnp.diagonal(L)))
 

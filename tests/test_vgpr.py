@@ -248,3 +248,69 @@ def test_vgpr_nan_row_dropping():
                             independent=True)
     complete = ~np.isnan(Y).any(-1)
     assert m.y.shape == (complete.sum(), 3)
+
+
+def test_independent_predict_closed_form_padded_grid():
+    """Regression for an XLA:CPU whole-graph miscompilation (jax 0.9.0):
+    with a zero-padded masked grid, long lengthscales relative to the grid
+    span, and the vmapped Gram -> batched Cholesky -> solves pipeline fused
+    into one jit, the predictive mean was off by ~0.29 relative and the
+    variance clamped to zero at observed pixels, while the eager (op-by-op)
+    result was exact. Fixed by pinning the Cholesky operand
+    (ops/linalg.safe_cholesky); this pins the jitted predict against a
+    numpy closed form in exactly that regime."""
+    import scipy.linalg as sla
+    import jax.numpy as jnp
+    from gpim_tpu.gpreg import multi, engine
+    from gpim_tpu.kernels.transforms import interval_inverse, positive_inverse
+
+    rng = np.random.RandomState(0)
+    size, T = 32, 4
+    g = np.mgrid[0:size:1.0, 0:size:1.0]
+    X_all = np.stack([g[0], g[1]], -1).reshape(-1, 2)
+    obs = rng.rand(size * size) < 0.5
+    Xn = X_all[obs]
+    Yn = np.stack([np.sin(Xn[:, 0] / (4 + t)) * np.cos(Xn[:, 1] / 5.0)
+                   for t in range(T)], -1) * 0.2 + 0.1
+
+    Xp, n = engine.pad_rows(Xn, 128)
+    Yp, _ = engine.pad_rows(Yn, 128)
+    mask = np.zeros(len(Xp)); mask[:n] = 1.0
+
+    lo, hi = np.full(2, 0.01), np.full(2, 40.0)
+    bounds = {"ls_lo": jnp.asarray(lo), "ls_hi": jnp.asarray(hi)}
+    # the triggering regime: lengthscale ~ 1/3 of the grid span, small
+    # variance/noise (converged BEPFM-band values)
+    ls = np.array([[11.7, 12.0], [10.5, 11.2], [12.3, 9.8], [11.0, 10.1]])
+    outs = np.array([0.042, 0.05, 0.03, 0.045])
+    noise = np.array([0.0028, 0.004, 0.002, 0.003])
+    cmean = np.array([0.063, 0.05, 0.07, 0.04])
+    u = {
+        "lengthscale": interval_inverse(
+            jnp.asarray(ls), bounds["ls_lo"], bounds["ls_hi"]),
+        "outputscale": positive_inverse(jnp.asarray(outs)),
+        "noise": positive_inverse(jnp.asarray(noise)),
+        "mean": jnp.asarray(cmean),
+    }
+    jitter = 1e-5
+    chunks, nt = engine.chunk_rows(X_all, 512)
+    mean, var = multi.predict_independent(
+        u, jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(mask), bounds,
+        jnp.asarray(jitter), jnp.asarray(chunks), kernel="RBF")
+    mean = np.asarray(mean)[:nt]
+    var = np.asarray(var)[:nt]
+
+    for t in range(T):
+        K = outs[t] * np.exp(
+            -0.5 * (((Xn[:, None, :] - Xn[None, :, :]) / ls[t]) ** 2).sum(-1)
+        ) + (noise[t] + jitter) * np.eye(n)
+        L = np.linalg.cholesky(K)
+        alpha = sla.cho_solve((L, True), Yn[:, t] - cmean[t])
+        Ks = outs[t] * np.exp(
+            -0.5 * (((X_all[:, None, :] - Xn[None, :, :]) / ls[t]) ** 2
+                    ).sum(-1))
+        m_ref = Ks @ alpha + cmean[t]
+        V = sla.solve_triangular(L, Ks.T, lower=True)
+        v_ref = outs[t] - (V * V).sum(0) + noise[t]
+        assert_allclose(mean[:, t], m_ref, rtol=1e-7, atol=1e-9)
+        assert_allclose(var[:, t], v_ref, rtol=1e-6, atol=1e-9)
