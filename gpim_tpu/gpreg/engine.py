@@ -39,6 +39,7 @@ from gpim_tpu.kernels.functional import get_kernel_fn, kernel_diag
 from gpim_tpu.ops.tri import tri_inverse
 from gpim_tpu.kernels.transforms import (
     interval_forward, interval_log_jacobian, positive_forward)
+from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = [
     "constrain", "exact_loss", "vfe_loss", "train",
@@ -122,7 +123,7 @@ def exact_loss(u, X, y, mask, bounds, jitter, *, kernel):
 def _exact_nll_autodiff(p, X, y, mask, jitter, kernel):
     kfn = get_kernel_fn(kernel)
     A = _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     ym = y * mask
     # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
     z = solve_triangular(L, ym, lower=True)
@@ -198,7 +199,7 @@ def _nll_fast_fwd(kernel, p, X, y, mask, jitter):
         Kt = _kernel_from_sqdist(kernel, p, s)     # unmasked kernel matrix
         A = _masked_system(Kt, p["noise"], mask, jitter)
         s_res = None if kernel == "RBF" else s
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     # V = L^-1 via the batched-bisection inverse (ops/tri.py). Computing it
     # here (rather than a 1-rhs trsm for z now and a trsm-vs-identity in the
     # backward) turns both solves into gemms: XLA's 1-rhs trsm alone is an
@@ -302,7 +303,7 @@ def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):
     noise = p["noise"]
     Kmm = kfn(p, Xu, Xu) + jitter * jnp.eye(m, dtype=X.dtype)
     Kmn = kfn(p, Xu, X) * mask[None, :]
-    Lm = jnp.linalg.cholesky(Kmm)
+    Lm = safe_cholesky(Kmm)
     A = solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(noise)
     # bf16x3 ("high") keeps ~f32 fidelity for this length-n inner-product
     # accumulation and is measurably faster than the package-default 6-pass
@@ -311,7 +312,7 @@ def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):
     # a plain product of O(1)-scaled rows, not a cancellation-prone one.
     B = (jnp.eye(m, dtype=X.dtype)
          + jnp.dot(A, A.T, precision=jax.lax.Precision.HIGH))
-    LB = jnp.linalg.cholesky(B)
+    LB = safe_cholesky(B)
     ym = y * mask
     c = solve_triangular(LB, A @ ym, lower=True) / jnp.sqrt(noise)
     n_eff = jnp.sum(mask)
@@ -379,7 +380,7 @@ def predict_exact(u, X, y, mask, bounds, jitter, Xtest_chunks, *,
     kfn = get_kernel_fn(kernel)
     p = constrain(u, bounds)
     A = _masked_system(kfn(p, X, X), p["noise"], mask, jitter)
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     # one explicit L^-1 up front turns every per-chunk triangular solve
     # below into a plain gemm (XLA trsm is an n/128-step latency chain)
     V = tri_inverse(L)
@@ -409,10 +410,10 @@ def predict_vfe(u, X, y, mask, bounds, jitter, Xtest_chunks, *,
     noise = p["noise"]
     Kmm = kfn(p, Xu, Xu) + jitter * jnp.eye(m, dtype=X.dtype)
     Kmn = kfn(p, Xu, X) * mask[None, :]
-    Lm = jnp.linalg.cholesky(Kmm)
+    Lm = safe_cholesky(Kmm)
     A = solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(noise)
     B = jnp.eye(m, dtype=X.dtype) + A @ A.T
-    LB = jnp.linalg.cholesky(B)
+    LB = safe_cholesky(B)
     c = solve_triangular(LB, A @ (y * mask), lower=True) / jnp.sqrt(noise)
 
     def one(xc):

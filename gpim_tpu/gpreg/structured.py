@@ -20,6 +20,7 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 
 from gpim_tpu.kernels.functional import spectral_mixture
 from gpim_tpu.kernels.transforms import positive_forward, positive_inverse
+from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = ["init_spectral_params", "train_spectral", "predict_spectral"]
 
@@ -80,7 +81,7 @@ def _sm_system(p, X, mask, jitter):
 def _sm_loss(u, X, y, mask, jitter):
     p = _constrain_sm(u)
     A = _sm_system(p, X, mask, jitter)
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     ym = (y - p["mean"]) * mask
     # quadratic form via one triangular solve: y^T A^-1 y = |L^-1 y|^2
     z = solve_triangular(L, ym, lower=True)
@@ -115,7 +116,7 @@ def predict_spectral(u, X, y, mask, jitter, Xtest_chunks, *,
                      noiseless=False):
     p = _constrain_sm(u)
     A = _sm_system(p, X, mask, jitter)
-    L = jnp.linalg.cholesky(A)
+    L = safe_cholesky(A)
     alpha = cho_solve((L, True), (y - p["mean"]) * mask)
     kss_val = jnp.sum(p["weights"])
 

@@ -37,6 +37,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = [
     "choose_grid", "build_interp", "ski_mvm", "batched_cg", "batched_pcg",
@@ -220,7 +221,7 @@ def make_preconditioner(L, noise_pj):
     """
     n, k = L.shape
     C = noise_pj * jnp.eye(k, dtype=L.dtype) + L.T @ L
-    LC = jnp.linalg.cholesky(C)
+    LC = safe_cholesky(C)
 
     def apply(v):
         squeeze = v.ndim == 1
@@ -523,7 +524,7 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt,
         c_star = jnp.sum(test_wgt[:, :, None] * C[test_idx], axis=1)
         # T^-1 via Cholesky with a safety jitter (T is SPD for SPD A)
         r = T.shape[0]
-        LT = jnp.linalg.cholesky(
+        LT = safe_cholesky(
             T + 1e-6 * jnp.trace(T) / r * jnp.eye(r, dtype=T.dtype))
         from jax.scipy.linalg import solve_triangular
         half = solve_triangular(LT, c_star.T, lower=True)  # (r, m)
