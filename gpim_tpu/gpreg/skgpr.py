@@ -28,6 +28,11 @@ TPU-native design notes:
 - reference defects fixed on purpose (SURVEY.md 2.4): predict() works when
   Xtest was not given at construction (skgpr.py:118-120 crash), and the
   ``max_root`` kwarg is not silently dropped (skgpr.py:305-306).
+- SKI predictive variance: with the Kronecker-eigen preconditioner enabled
+  (``precond_rank`` > 0, the default) the variance reuses that eigenroot in
+  closed form (rank = precond_rank = 512 >= maxroot's default 100 - higher
+  quality AND no sequential Lanczos chain); ``maxroot`` caps the Lanczos
+  fallback used when preconditioning is disabled.
 """
 
 import time
