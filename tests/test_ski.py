@@ -173,10 +173,11 @@ def test_ski_mll_value_and_grad(precond_rank):
     for a, b in zip(jax.tree_util.tree_leaves(g_exact),
                     jax.tree_util.tree_leaves(g_est)):
         a, b = np.asarray(a), np.asarray(b)
-        # stochastic trace estimate: same sign, within 30% where non-tiny
+        # stochastic trace estimate: measured max ratio error is ~5%
+        # across precond ranks 0..full at 16 probes; 15% leaves margin
         big = np.abs(a) > 1e-2
         if big.any():
-            assert_allclose(b[big] / a[big], 1.0, atol=0.3)
+            assert_allclose(b[big] / a[big], 1.0, atol=0.15)
 
 
 def test_ski_model_end_to_end_on_grid():
