@@ -304,7 +304,13 @@ def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):
     Kmm = kfn(p, Xu, Xu) + jitter * jnp.eye(m, dtype=X.dtype)
     Kmn = kfn(p, Xu, X) * mask[None, :]
     Lm = safe_cholesky(Kmm)
-    A = solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(noise)
+    # explicit Lm^-1 turns the wide (m, n) triangular solve into a gemm
+    # (XLA trsm is an m/128-step latency chain and its VJP is another
+    # trsm; the inverse's VJP is gemms too - measured 13.5 -> 9 ms/step
+    # at n = 30k, m = 1k)
+    Vm = tri_inverse(Lm)
+    A = jnp.dot(Vm, Kmn,
+                precision=jax.lax.Precision.HIGH) / jnp.sqrt(noise)
     # bf16x3 ("high") keeps ~f32 fidelity for this length-n inner-product
     # accumulation and is measurably faster than the package-default 6-pass
     # "highest" (VFE step 15.2 -> 11.8 ms/iter at n=30k, m=1k). Distance
@@ -411,15 +417,20 @@ def predict_vfe(u, X, y, mask, bounds, jitter, Xtest_chunks, *,
     Kmm = kfn(p, Xu, Xu) + jitter * jnp.eye(m, dtype=X.dtype)
     Kmn = kfn(p, Xu, X) * mask[None, :]
     Lm = safe_cholesky(Kmm)
-    A = solve_triangular(Lm, Kmn, lower=True) / jnp.sqrt(noise)
+    # one explicit inverse each: every per-chunk triangular solve below
+    # becomes a gemm (same rationale as vfe_loss / predict_exact)
+    Vm = tri_inverse(Lm)
+    A = jnp.dot(Vm, Kmn,
+                precision=jax.lax.Precision.HIGH) / jnp.sqrt(noise)
     B = jnp.eye(m, dtype=X.dtype) + A @ A.T
     LB = safe_cholesky(B)
-    c = solve_triangular(LB, A @ (y * mask), lower=True) / jnp.sqrt(noise)
+    VB = tri_inverse(LB)
+    c = (VB @ (A @ (y * mask))) / jnp.sqrt(noise)
 
     def one(xc):
         Ks = kfn(p, xc, Xu)
-        w1 = solve_triangular(Lm, Ks.T, lower=True)      # (m, chunk)
-        w2 = solve_triangular(LB, w1, lower=True)        # (m, chunk)
+        w1 = Vm @ Ks.T                                   # (m, chunk)
+        w2 = VB @ w1                                     # (m, chunk)
         mean = w2.T @ c
         var = (kernel_diag(kernel, p, xc)
                - jnp.sum(w1 * w1, axis=0)
