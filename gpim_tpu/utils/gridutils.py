@@ -126,13 +126,12 @@ def get_sparse_grid(R, extent=None):
         flat = X.reshape(c, e1 * e2, e3)
         rows = np.where(np.isnan(R.reshape(e1 * e2, e3)))[0]
         flat[:, rows] = np.nan
-    elif np.ndim(R) == 3:
+    else:
+        # pointwise sparsity for 3D and above (the reference raises for
+        # ndim > 3, gprutils.py:207-210, but its own 4D cKPFM workflow
+        # needs exactly this generic branch)
         flat = X.reshape(c, -1)
         flat[:, np.isnan(R.flatten())] = np.nan
-    else:
-        raise NotImplementedError(
-            "Currently supports only 2D and 3D sets with sparsity "
-            "in xy and xyz dims")
     return X
 
 
