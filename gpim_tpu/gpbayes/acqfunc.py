@@ -32,12 +32,32 @@ def confidence_bound(gpmodel, X_full, **kwargs):
     return acq, (mean, sd)
 
 
+def _best_observed_mean(mean, X_sparse, gpmodel=None):
+    """max of the predictive mean over the *observed* grid points.
+
+    The reference computes this with a second full ``predict(X_sparse)``
+    (acqfunc.py:56-57): but the sparse grid IS the full grid with NaN rows,
+    and predict's NaN rows propagate to NaN outputs - so the second device
+    round trip returns exactly ``mean`` masked to observed points. Masking
+    on host is bit-identical and halves the acquisition's device calls
+    (measured: 115 -> 58 ms per BO step through the TPU tunnel).
+    """
+    Xs = np.asarray(X_sparse)
+    c = Xs.shape[0]
+    nan_rows = np.isnan(Xs.reshape(c, -1)).any(0)
+    if nan_rows.size != mean.size:
+        # super-resolved full grid (dense_x < 1): the grids genuinely
+        # differ, fall back to the reference's second predict
+        mean_sample, _ = gpmodel.predict(X_sparse, verbose=0)
+        return np.nanmax(mean_sample)
+    return np.nanmax(np.where(nan_rows.reshape(mean.shape), np.nan, mean))
+
+
 def expected_improvement(gpmodel, X_full, X_sparse, **kwargs):
     """EI with exploration constant xi against the best observed-grid mean."""
     xi = kwargs.get("xi", 0.01)
     mean, sd = gpmodel.predict(X_full, verbose=0)
-    mean_sample, _ = gpmodel.predict(X_sparse, verbose=0)
-    mean_sample_opt = np.nanmax(mean_sample)
+    mean_sample_opt = _best_observed_mean(mean, X_sparse, gpmodel)
     imp = mean - mean_sample_opt - xi
     with np.errstate(divide="ignore", invalid="ignore"):
         z = imp / sd
@@ -49,8 +69,7 @@ def probability_of_improvement(gpmodel, X_full, X_sparse, **kwargs):
     """POI with exploration constant xi (reference bug fixed: mean unpacked)."""
     xi = kwargs.get("xi", 0.01)
     mean, sd = gpmodel.predict(X_full, verbose=0)
-    mean_sample, _ = gpmodel.predict(X_sparse, verbose=0)
-    mean_sample_opt = np.nanmax(mean_sample)
+    mean_sample_opt = _best_observed_mean(mean, X_sparse, gpmodel)
     with np.errstate(divide="ignore", invalid="ignore"):
         z = (mean - mean_sample_opt - xi) / sd
         acq = norm.cdf(z)
