@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 200))
+
+
 import gpim_tpu
 from gpim_tpu import utils, boptimizer
 
@@ -38,7 +43,7 @@ def main():
         X_sparse, Z_sparse, X_full, measure,
         acquisition_function="ei",
         exploration_steps=20,
-        gp_iterations=200,
+        gp_iterations=_ITERS,
         save_checkpoints=True,
         filename="boptim_results",
         verbose=1)

@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 50))
+
+
 import gpim_tpu
 from gpim_tpu import utils, skreconstructor
 
@@ -28,7 +33,7 @@ def main():
     model = skreconstructor(
         X, R, X, kernel="Matern52", ski=True,
         grid_points_ratio=1.0, lengthscale=[1.0, 3.0],
-        iterations=50, verbose=2)
+        iterations=_ITERS, verbose=2)
     mean, sd, hyperparams = model.run()
 
     # super-resolution pass

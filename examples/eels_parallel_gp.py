@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 100))
+
+
 import gpim_tpu
 from gpim_tpu import utils, vreconstructor
 
@@ -39,7 +44,7 @@ def main():
     model = vreconstructor(
         X, Y, X_dense, kernel="RBF",
         independent=True,          # one vmapped GP per channel
-        iterations=100, verbose=2)
+        iterations=_ITERS, verbose=2)
     mean, sd, hyperparams = model.run()
     print("prediction:", mean.shape)   # (64, 64, 6)
 

@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 400))
+
+
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
 
@@ -28,7 +33,7 @@ def main():
     model = reconstructor(
         X, R, X_full, kernel="Matern52",
         sparse=True, indpoints=1000,        # VFE with trainable Xu
-        learning_rate=0.05, iterations=400, verbose=2)
+        learning_rate=0.05, iterations=_ITERS, verbose=2)
     mean, sd, hyperparams = model.run()
 
     try:

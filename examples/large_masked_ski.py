@@ -22,6 +22,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 30))
+
+
 from gpim_tpu import skreconstructor, utils  # noqa: E402
 
 
@@ -47,7 +52,7 @@ def main():
 
     mean, sd, hyperparams = skreconstructor(
         X, R, Xfull, kernel="RBF", ski=True,
-        learning_rate=0.1, iterations=30, verbose=1).run()
+        learning_rate=0.1, iterations=_ITERS, verbose=1).run()
 
     mean = mean.reshape(truth.shape)
     rmse = float(np.sqrt(np.mean((mean - truth) ** 2)))

@@ -13,6 +13,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# smoke-test hook: tests/test_examples.py runs every example with a
+# tiny iteration budget through this env override
+_ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 250))
+
+
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
 
@@ -36,7 +41,7 @@ def main():
     X_full = utils.get_full_grid(R)    # dense prediction grid
 
     model = reconstructor(X, R, X_full, kernel="RBF",
-                          lengthscale=None, iterations=250, verbose=2)
+                          lengthscale=None, iterations=_ITERS, verbose=2)
     mean, sd, hyperparams = model.run()
 
     utils.plot_kernel_hyperparams(hyperparams)
