@@ -395,7 +395,11 @@ def predict_exact(u, X, y, mask, bounds, jitter, Xtest_chunks, *,
     def one(xc):
         Ks = kfn(p, xc, X) * mask[None, :]
         mean = Ks @ alpha
-        W = V @ Ks.T
+        # bf16x3: O(1)-scaled factor product feeding a variance reduction,
+        # ~2x faster than the package-default 6-pass "highest" (the same
+        # policy as the training path's syrk; distance expansions stay
+        # "highest" inside kfn)
+        W = jnp.dot(V, Ks.T, precision=jax.lax.Precision.HIGH)
         var = kernel_diag(kernel, p, xc) - jnp.sum(W * W, axis=0)
         if not noiseless:
             var = var + p["noise"]
