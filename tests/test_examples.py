@@ -39,10 +39,11 @@ def _load(name):
 
 
 @pytest.mark.parametrize("name,data", CASES)
-def test_example_runs(name, data, monkeypatch):
+def test_example_runs(name, data, monkeypatch, tmp_path):
     if data is not None and not os.path.exists(os.path.join(EXPDATA, data)):
         pytest.skip("bundled dataset %s not present" % data)
     monkeypatch.setenv("GPIM_TPU_EXAMPLE_ITERS", "2")
+    monkeypatch.chdir(tmp_path)  # examples may write checkpoints to cwd
     monkeypatch.setattr(sys, "argv", [name + ".py"])
     import matplotlib.pyplot as plt
     monkeypatch.setattr(plt, "show", lambda *a, **k: None)
