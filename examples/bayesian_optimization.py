@@ -42,7 +42,7 @@ def main():
     boptim = boptimizer(
         X_sparse, Z_sparse, X_full, measure,
         acquisition_function="ei",
-        exploration_steps=20,
+        exploration_steps=min(_ITERS, 20),
         gp_iterations=_ITERS,
         save_checkpoints=True,
         filename="boptim_results",

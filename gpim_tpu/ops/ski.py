@@ -522,9 +522,20 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt,
     def predict(p, noise_pj, yc, test_idx, test_wgt, kss, key):
         factors = grid_kernel_factors(kernel, p, grids)
         mvm = lambda v: mvm_full(p, noise_pj, v)
+        Lt = None
         if precond_rank > 0:
-            Lp = kron_eig_root(kernel, p, grids, grid_shape, idx, wgt,
-                               precond_rank)
+            # build the eigen-root ONCE; the train-side Lp (preconditioner)
+            # and test-side Lt (Nystrom variance below) are just different
+            # row interpolations of the same (G, rank) grid root
+            lam_top, Us, mdim, r_eff = _kron_top_modes(
+                kernel, p, grids, grid_shape, precond_rank, 64)
+            if G * r_eff <= _GRID_ROOT_MAX:
+                Hg = kron_eig_grid_root(lam_top, Us, mdim, grid_shape)
+                Lp = interp_rows(Hg, idx, wgt)
+                Lt = interp_rows(Hg, test_idx, test_wgt)
+            else:
+                Lp = kron_eig_root(kernel, p, grids, grid_shape, idx, wgt,
+                                   precond_rank)
             pinv, _ = make_preconditioner(Lp, noise_pj)
         else:
             pinv = lambda v: v / noise_pj
@@ -557,8 +568,9 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt,
             # S = N (N + noise I)^-1, N = Lp^T Lp  (push-through identity;
             # everything is gemms + one r x r eigh - no sequential Lanczos
             # chain, and rank 512 >> LOVE's default 100).
-            Lt = kron_eig_root(kernel, p, grids, grid_shape,
-                               test_idx, test_wgt, precond_rank)
+            if Lt is None:                 # giant-grid fallback path
+                Lt = kron_eig_root(kernel, p, grids, grid_shape,
+                                   test_idx, test_wgt, precond_rank)
             N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
             lam_n, Un = jnp.linalg.eigh(N)
             lam_n = jnp.maximum(lam_n, 0.0)

@@ -18,7 +18,7 @@ matplotlib.use("Agg")
 
 EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples")
-EXPDATA = "/root/reference/expdata"
+EXPDATA = os.environ.get("GPIM_TPU_EXPDATA", "/root/reference/expdata")
 
 CASES = [
     ("sparse_image_2d", None),
