@@ -297,6 +297,20 @@ class skreconstructor:
                 # rank recompiles the predict program once
                 self._ski_engine.rank = int(
                     min(self.maxroot, self._Xd.shape[0]))
+                if self._ski_engine.precond_rank > 0:
+                    # on the default (preconditioned) path the variance root
+                    # is the Kronecker eigen-root of rank precond_rank, so an
+                    # explicit max_root must CAP it to stay meaningful (it
+                    # can only cap: the probe bases were drawn at the
+                    # construction-time rank)
+                    capped = int(min(self.maxroot,
+                                     self._ski_engine.precond_rank))
+                    if self.verbose and capped < \
+                            self._ski_engine.precond_rank:
+                        print("max_root=%d caps the Nystrom/preconditioner "
+                              "rank (was %d)" % (
+                                  capped, self._ski_engine.precond_rank))
+                    self._ski_engine.precond_rank = capped
         if self.verbose:
             print('Calculating predictive mean and uncertainty...')
         nan_rows = np.isnan(self.Xtest).any(axis=1)

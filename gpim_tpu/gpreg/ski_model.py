@@ -150,6 +150,13 @@ class SKIEngine:
         """Segmented Adam optimization (see module docstring). Returns
         (final params, full concatenated trajectory)."""
         u = u0
+        if int(iterations) <= 0:
+            # predict-only flows may train for 0 iterations; the trajectory
+            # contract is zero-length series, not a crash
+            d = u0["lengthscale"].shape[0]
+            zero = np.zeros((0,), self.dtype)
+            return u, {"lengthscale": np.zeros((0, d), self.dtype),
+                       "noise": zero, "loss": zero}
         opt_state = optax.adam(1.0).init(u0)   # adam state is lr-independent
         trajs = []
         remaining = int(iterations)
