@@ -59,14 +59,15 @@ def _loss(u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter, *,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
-def _build_precond(u, grids, idx, wgt, bounds, *, kernel, grid_shape, rank):
+def _build_precond(u, grids, i0, w0, mask_, bounds, *,
+                   kernel, grid_shape, rank):
     """Preconditioner root at the current hyperparameters (value-only)."""
     if rank == 0:
-        return jnp.zeros((idx.shape[0], 0), wgt.dtype)
+        return jnp.zeros((i0.shape[0], 0), w0.dtype)
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     return ski.kron_eig_root(kernel, kp, list(grids), grid_shape,
-                             idx, wgt, rank)
+                             i0, w0, rank, mask=mask_)
 
 
 @partial(jax.jit, static_argnames=(
@@ -96,12 +97,12 @@ def _train_seg(u0, opt_state, Lp, grids, idx, wgt, g0, g1, y, mask_,
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
                                    "rank", "precond_rank"))
-def _predict(u, grids, idx, wgt, y, mask_, bounds, jitter,
-             test_idx, test_wgt, key, *, kernel, grid_shape, cg_iters,
-             rank, precond_rank):
+def _predict(u, grids, idx, wgt, i0, w0, y, mask_, bounds, jitter,
+             test_idx, test_wgt, t_i0, t_w0, key, *, kernel, grid_shape,
+             cg_iters, rank, precond_rank):
     predictor = ski.make_ski_predictor(
-        kernel, list(grids), grid_shape, idx, wgt, cg_iters, rank,
-        precond_rank=precond_rank)
+        kernel, list(grids), grid_shape, idx, wgt, i0, w0, mask_,
+        cg_iters, rank, precond_rank=precond_rank)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -109,7 +110,7 @@ def _predict(u, grids, idx, wgt, y, mask_, bounds, jitter,
     kss = jnp.full((m,), p["variance"], y.dtype)
     mean, var = predictor(
         {"lengthscale": p["lengthscale"], "variance": p["variance"]},
-        noise_pj, yc, test_idx, test_wgt, kss, key)
+        noise_pj, yc, test_idx, test_wgt, t_i0, t_w0, kss, key)
     mean = mean + p["mean"]
     var = var + p["noise"]  # noiseless=False semantics
     return mean, var
@@ -127,8 +128,12 @@ class SKIEngine:
         self.grid_shape = tuple(len(g) for g in grids)
         self.dtype = X_pad.dtype
         idx, wgt = ski.build_interp(X_pad, grids, mask)
+        i0, w0 = ski.build_interp_sep(X_pad, grids)
         self._idx = jnp.asarray(idx)
         self._wgt = jnp.asarray(wgt)
+        self._i0 = jnp.asarray(i0)
+        self._w0 = jnp.asarray(w0)
+        self._mask = jnp.asarray(np.asarray(mask, X_pad.dtype))
         self._grids = tuple(jnp.asarray(g) for g in grids)
         self.cg_iters = int(min(cg_iters, X_pad.shape[0]))
         self.rank = int(min(rank, X_pad.shape[0]))
@@ -163,7 +168,7 @@ class SKIEngine:
         while remaining > 0:
             s = min(self.segment, remaining)
             Lp = _build_precond(
-                u, self._grids, self._idx, self._wgt, bounds,
+                u, self._grids, self._i0, self._w0, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 rank=self.precond_rank)
             u, opt_state, traj = _train_seg(
@@ -181,11 +186,14 @@ class SKIEngine:
         """Host wrapper: builds test interpolation tensors then runs the
         jitted predictor over ALL test points at once (per-point cost is a
         2^d gather + rank-r dot, no chunking needed)."""
-        t_idx, t_wgt = ski.build_interp(
-            np.asarray(Xtest_clean, self.dtype), self.grids_np)
+        Xt = np.asarray(Xtest_clean, self.dtype)
+        t_idx, t_wgt = ski.build_interp(Xt, self.grids_np)
+        t_i0, t_w0 = ski.build_interp_sep(Xt, self.grids_np)
         return _predict(
-            u, self._grids, self._idx, self._wgt, y, mask, bounds, jitter,
-            jnp.asarray(t_idx), jnp.asarray(t_wgt), self._key,
+            u, self._grids, self._idx, self._wgt, self._i0, self._w0,
+            y, mask, bounds, jitter,
+            jnp.asarray(t_idx), jnp.asarray(t_wgt),
+            jnp.asarray(t_i0), jnp.asarray(t_w0), self._key,
             kernel=self.kernel, grid_shape=self.grid_shape,
             cg_iters=self.cg_iters, rank=self.rank,
             precond_rank=self.precond_rank)

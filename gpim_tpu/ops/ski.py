@@ -40,8 +40,8 @@ import jax.numpy as jnp
 from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = [
-    "choose_grid", "build_interp", "ski_mvm", "batched_cg", "batched_pcg",
-    "kron_eig_root", "make_preconditioner",
+    "choose_grid", "build_interp", "build_interp_sep", "ski_mvm",
+    "batched_cg", "batched_pcg", "kron_eig_root", "make_preconditioner",
     "lanczos", "ski_mll", "make_ski_predictor", "grid_kernel_factors",
 ]
 
@@ -101,6 +101,28 @@ def build_interp(X, grids, mask=None):
     if mask is not None:
         wgt = wgt * np.asarray(mask, X.dtype)[:, None]
     return idx.astype(np.int32), wgt
+
+
+def build_interp_sep(X, grids):
+    """Per-dim (separable) form of the linear interpolation: lower grid
+    index and lower weight of each point in each dimension, (n, d) each.
+
+    Because the corner weights of ``build_interp`` factor per dimension
+    (wgt[i, s] = prod_k w_k[i, bit_k(s)]), this form is enough to apply W
+    to any matrix whose columns are Kronecker (separable) over the grid
+    dims - see :func:`kron_eig_root`.
+    """
+    n, d = X.shape
+    i0 = np.zeros((n, d), np.int64)
+    w0 = np.zeros((n, d), X.dtype)
+    for k in range(d):
+        g = grids[k]
+        step = g[1] - g[0]
+        t = (X[:, k] - g[0]) / step
+        i = np.clip(np.floor(t).astype(np.int64), 0, len(g) - 2)
+        i0[:, k] = i
+        w0[:, k] = 1.0 - np.clip(t - i, 0.0, 1.0)
+    return i0.astype(np.int32), w0
 
 
 # --------------------------------------------------------------------------
@@ -166,104 +188,87 @@ def _decode_flat(flat, grid_shape):
     return out[::-1]
 
 
-def kron_eig_root(kernel, p, grids, grid_shape, idx, wgt, rank, chunk=64):
+def kron_eig_root(kernel, p, grids, grid_shape, i0, w0, rank,
+                  mask=None, modes=None):
     """Rank-``rank`` root L of the SKI kernel's dominant eigenspace:
     K_hat = W K_UU W^T ~= L L^T with L = W U_r sqrt(Lam_r).
 
     Because K_UU is a Kronecker product, its full eigendecomposition costs
-    only d tiny per-dim ``eigh`` calls; the top-r eigenpairs of the grid
-    operator are the top-r products of per-dim eigenvalues, and each
-    eigenvector is separable, so W U_r is a (2^d)-sparse gather per point
-    per mode. This beats pivoted Cholesky in this regime both in quality
-    (r can be hundreds without sequential MVMs: a rank-512 preconditioner
-    drove CG residuals from 1e0 to 1e-4 at 64 iters on a 70%-masked
-    64x64x32 cube) and in build cost (no n-length one-hot solves).
-    GPyTorch's analog is its pivoted-Cholesky preconditioner for BBMM
-    (reference skgpr.py:124-131 regime); the Kronecker grid structure is
-    what lets us do strictly better here.
+    only d tiny per-dim ``eigh`` calls, and every grid eigenvector is
+    separable (a Kronecker product of per-dim eigenvector columns). The
+    linear-interpolation corner weights of W are ALSO separable
+    (wgt[i, s] = prod_k w_k[i, bit_k(s)]), so the 2^d corner sum
+    factorizes per dimension:
 
-    The mode loop is chunked (``chunk`` modes at a time) so the transient
-    gather buffer stays at (n, 2^d, chunk).
+        (W U_r)_{i,m} = prod_k ( w0_k[i] U_k[i0_k[i],   m_k]
+                               + w1_k[i] U_k[i0_k[i]+1, m_k] )
+
+    i.e. d per-dim row interpolations of the eigenvector tables followed by
+    an elementwise product over dims - O(n r d) time AND memory with no
+    dependence on the grid size G. This supersedes both earlier strategies
+    (a materialized (G, r) grid root with row interpolation, and a chunked
+    per-mode corner gather for giant grids): one path, exact, and it scales
+    to arbitrarily large grids (the round-2 "giant-grid fallback" regime,
+    e.g. 128x128x64 masked cubes, runs through this same code).
+
+    This beats pivoted Cholesky in this regime both in quality (r can be
+    hundreds without sequential MVMs: a rank-512 preconditioner drove CG
+    residuals from 1e0 to 1e-4 at 64 iters on a 70%-masked 64x64x32 cube)
+    and in build cost (no n-length one-hot solves). GPyTorch's analog is
+    its pivoted-Cholesky preconditioner for BBMM (reference
+    skgpr.py:124-131 regime); the Kronecker grid structure is what lets us
+    do strictly better here.
+
+    ``i0``/``w0`` are :func:`build_interp_sep` outputs (n, d). ``mask``
+    (n,) zeroes padded rows. ``modes`` lets callers reuse one
+    :func:`_kron_top_modes` result for several roots over the same
+    eigenspace (train- and test-side roots must pick the SAME modes).
     """
-    G = int(np.prod(grid_shape))
-    lam_top, Us, mdim, rank = _kron_top_modes(
-        kernel, p, grids, grid_shape, rank, chunk)
-    if G * rank <= _GRID_ROOT_MAX:
-        # materialize the root on the grid once (mode outer products are
-        # pure elementwise broadcasting), then interpolate its ROWS: 2^d
-        # wide gathers instead of per-mode scalar gathers - measured ~5x
-        # faster at n = 131k, rank = 512
-        Hg = kron_eig_grid_root(lam_top, Us, mdim, grid_shape, chunk)
-        return interp_rows(Hg, idx, wgt)
+    if modes is None:
+        modes = _kron_top_modes(kernel, p, grids, rank)
+    lam_top, Us, mdim = modes
     d = len(grid_shape)
-    gdim = _decode_flat(idx, grid_shape)              # per-dim (n, S)
-
-    def one_chunk(c):                                  # c: (chunk,) mode ids
-        P = wgt[:, :, None]
-        for k in range(d):
-            P = P * Us[k][gdim[k][:, :, None], mdim[k][c][None, None, :]]
-        return jnp.sum(P, axis=1) * jnp.sqrt(lam_top[c])[None, :]
-
-    mode_chunks = jnp.arange(rank).reshape(-1, chunk)
-    Lc = jax.lax.map(one_chunk, mode_chunks)           # (nc, n, chunk)
-    return jnp.moveaxis(Lc, 0, 1).reshape(wgt.shape[0], rank)
-
-
-# materialized grid roots above this many entries fall back to the chunked
-# per-mode gather path (f32: 32M entries = 128 MB transient)
-_GRID_ROOT_MAX = 32 * 1024 * 1024
+    out = None
+    for k in range(d):
+        U = Us[k]                                     # (g_k, r_k) pruned
+        Vk = (w0[:, k, None] * U[i0[:, k]]
+              + (1.0 - w0[:, k])[:, None] * U[i0[:, k] + 1])   # (n, r_k)
+        cols = Vk[:, mdim[k]]                          # (n, rank)
+        out = cols if out is None else out * cols
+    out = out * jnp.sqrt(lam_top)[None, :]
+    if mask is not None:
+        out = out * mask[:, None]
+    return out
 
 
-def _kron_top_modes(kernel, p, grids, grid_shape, rank, chunk):
+def _kron_top_modes(kernel, p, grids, rank):
     """Per-dim eigh + top-``rank`` Kronecker modes (shared selection logic
-    so train- and test-side roots always pick the same eigenspace)."""
+    so train- and test-side roots always pick the same eigenspace).
+
+    Returns (lam_top (rank,), pruned per-dim eigenvector tables Us
+    [(g_k, r_k)], per-dim mode indices mdim [(rank,)] INTO the pruned
+    tables). Per-dim spectra are pruned to their top min(g_k, rank)
+    values first - a product using a per-dim index beyond ``rank`` is
+    dominated by >= rank larger products, so pruning is lossless and keeps
+    the materialized product spectrum at prod_k min(g_k, rank) entries
+    instead of G.
+    """
     factors = grid_kernel_factors(kernel, p, grids)
     lams, Us = [], []
     for f in factors:
-        lam, U = jnp.linalg.eigh(f)
-        lams.append(lam)
-        Us.append(U)
+        lam, U = jnp.linalg.eigh(f)                  # ascending
+        r_k = int(min(f.shape[0], rank))
+        lams.append(lam[::-1][:r_k])                 # descending, pruned
+        Us.append(U[:, ::-1][:, :r_k])
     lam_prod = lams[0]
     for lam in lams[1:]:
         lam_prod = (lam_prod[:, None] * lam[None, :]).reshape(-1)
     rank = int(min(rank, lam_prod.shape[0]))
-    chunk = int(min(chunk, rank))
-    rank = (rank // chunk) * chunk
     lam_top, flat_modes = jax.lax.top_k(lam_prod, rank)
     lam_top = jnp.maximum(lam_top, 0.0)
-    mdim = _decode_flat(flat_modes, grid_shape)       # per-dim (rank,)
-    return lam_top, Us, mdim, rank
-
-
-def kron_eig_grid_root(lam_top, Us, mdim, grid_shape, chunk=64):
-    """(G, rank) matrix U_r sqrt(Lam_r) on the full grid: each mode column
-    is a Kronecker (outer) product of per-dim eigenvector columns."""
-    rank = lam_top.shape[0]
-    G = int(np.prod(grid_shape))
-    d = len(grid_shape)
-    chunk = int(min(chunk, rank))
-    root_lam = jnp.sqrt(lam_top)
-
-    def one_chunk(c):                                  # (chunk,) mode ids
-        cols = Us[0][:, mdim[0][c]]                    # (n0, C)
-        for k in range(1, d):
-            nxt = Us[k][:, mdim[k][c]]                 # (nk, C)
-            cols = cols[:, None, :] * nxt[None, :, :]  # (prod, nk, C)
-            cols = cols.reshape(-1, c.shape[0])
-        return cols * root_lam[c][None, :]             # (G, C)
-
-    mode_chunks = jnp.arange(rank).reshape(-1, chunk)
-    Hc = jax.lax.map(one_chunk, mode_chunks)           # (nc, G, chunk)
-    return jnp.moveaxis(Hc, 0, 1).reshape(G, rank)
-
-
-def interp_rows(Hg, idx, wgt):
-    """Interpolate rows of a (G, r) grid matrix to points: 2^d wide
-    gathers + weighted sum. idx/wgt are build_interp outputs (n, 2^d)."""
-    out = wgt[:, 0:1] * Hg[idx[:, 0]]
-    for s in range(1, idx.shape[1]):
-        out = out + wgt[:, s:s + 1] * Hg[idx[:, s]]
-    return out
+    pruned_shape = tuple(l.shape[0] for l in lams)
+    mdim = _decode_flat(flat_modes, pruned_shape)     # per-dim (rank,)
+    return lam_top, Us, mdim
 
 
 def make_preconditioner(L, noise_pj):
@@ -504,38 +509,35 @@ def lanczos(mvm, v0, rank):
     return Q, T
 
 
-def make_ski_predictor(kernel, grids, grid_shape, idx, wgt,
+def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
                        cg_iters, rank, precond_rank=0):
-    """Returns predict(p, noise_pj, yc, test_idx, test_wgt, kss) ->
-    (mean_correction-free mean, var) using cached SKI algebra:
+    """Returns predict(p, noise_pj, yc, test_idx, test_wgt, t_i0, t_w0,
+    kss, key) -> (mean_correction-free mean, var) using cached SKI algebra:
 
     mean_* = w_*^T K_UU W^T alpha
     var_*  = k** - c_*^T T^-1 c_*,  c_* = C^T w_*,  C = K_UU W^T Q
 
     The alpha solve is Kronecker-eigen preconditioned (same machinery as
     training, see :func:`ski_mll`) - mean quality is gated directly by this
-    CG's convergence.
+    CG's convergence. ``i0``/``w0``/``t_i0``/``t_w0`` are the separable
+    interpolation tensors (:func:`build_interp_sep`) of the train and test
+    points; the per-dim eigendecomposition is computed ONCE and shared by
+    the train-side root Lp (preconditioner) and test-side root Lt (Nystrom
+    variance).
     """
     mvm_full = _make_mvm(kernel, grids, grid_shape, idx, wgt)
     G = int(np.prod(grid_shape))
 
-    def predict(p, noise_pj, yc, test_idx, test_wgt, kss, key):
+    def predict(p, noise_pj, yc, test_idx, test_wgt, t_i0, t_w0, kss, key):
         factors = grid_kernel_factors(kernel, p, grids)
         mvm = lambda v: mvm_full(p, noise_pj, v)
         Lt = None
         if precond_rank > 0:
-            # build the eigen-root ONCE; the train-side Lp (preconditioner)
-            # and test-side Lt (Nystrom variance below) are just different
-            # row interpolations of the same (G, rank) grid root
-            lam_top, Us, mdim, r_eff = _kron_top_modes(
-                kernel, p, grids, grid_shape, precond_rank, 64)
-            if G * r_eff <= _GRID_ROOT_MAX:
-                Hg = kron_eig_grid_root(lam_top, Us, mdim, grid_shape)
-                Lp = interp_rows(Hg, idx, wgt)
-                Lt = interp_rows(Hg, test_idx, test_wgt)
-            else:
-                Lp = kron_eig_root(kernel, p, grids, grid_shape, idx, wgt,
-                                   precond_rank)
+            modes = _kron_top_modes(kernel, p, grids, precond_rank)
+            Lp = kron_eig_root(kernel, p, grids, grid_shape, i0, w0,
+                               precond_rank, mask=mask, modes=modes)
+            Lt = kron_eig_root(kernel, p, grids, grid_shape, t_i0, t_w0,
+                               precond_rank, modes=modes)
             pinv, _ = make_preconditioner(Lp, noise_pj)
         else:
             pinv = lambda v: v / noise_pj
@@ -568,9 +570,6 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt,
             # S = N (N + noise I)^-1, N = Lp^T Lp  (push-through identity;
             # everything is gemms + one r x r eigh - no sequential Lanczos
             # chain, and rank 512 >> LOVE's default 100).
-            if Lt is None:                 # giant-grid fallback path
-                Lt = kron_eig_root(kernel, p, grids, grid_shape,
-                                   test_idx, test_wgt, precond_rank)
             N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
             lam_n, Un = jnp.linalg.eigh(N)
             lam_n = jnp.maximum(lam_n, 0.0)

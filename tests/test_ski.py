@@ -112,6 +112,70 @@ def test_slq_logdet_accuracy():
     assert abs(float(est) - true_logdet) < 4.0 * sigma
 
 
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_kron_eig_root_matches_dense(d):
+    """The separable-interpolation eigen-root must equal the brute-force
+    W U_r sqrt(Lam_r) (same eigenspace, same column order) for any grid
+    size - this ONE path now covers what used to be the small-grid
+    materialized root AND the giant-grid fallback. Masked rows must be
+    exactly zero."""
+    X, grids, idx, wgt, p = _setup(d=d, n=30)
+    n = X.shape[0]
+    gshape = tuple(len(g) for g in grids)
+    G = int(np.prod(gshape))
+    rank = min(10, G)
+    grids_j = [jnp.asarray(g) for g in grids]
+    mask = np.ones(n)
+    mask[-5:] = 0.0
+
+    i0, w0 = ski.build_interp_sep(X, grids)
+    L = np.asarray(ski.kron_eig_root(
+        "RBF", p, grids_j, gshape, jnp.asarray(i0), jnp.asarray(w0),
+        rank, mask=jnp.asarray(mask)))
+
+    # brute force: dense Kronecker K_UU, dense eigh, dense W
+    factors = [np.asarray(f) for f in
+               ski.grid_kernel_factors("RBF", p, grids_j)]
+    K = factors[0]
+    for f in factors[1:]:
+        K = np.kron(K, f)
+    lam, U = np.linalg.eigh(K)
+    order = np.argsort(lam)[::-1][:rank]
+    W = np.zeros((n, G))
+    for i in range(n):
+        for s in range(idx.shape[1]):
+            W[i, idx[i, s]] += wgt[i, s]
+    Lref = mask[:, None] * (W @ (U[:, order] *
+                                 np.sqrt(np.maximum(lam[order], 0.0))))
+    # eigenvector sign/degenerate-block freedom: compare the Gram products
+    assert_allclose(L @ L.T, Lref @ Lref.T, rtol=1e-6, atol=1e-8)
+    assert np.abs(L[-5:]).max() == 0.0
+
+
+def test_kron_eig_root_scales_past_old_grid_limit():
+    """A grid with G * rank far beyond the old 32M-entry materialization
+    limit must build its root without materializing anything G-sized
+    (O(n r d) memory). 220^3 grid: G*rank ~ 1.4e9."""
+    rng = np.random.RandomState(0)
+    n, d, rank = 64, 3, 128
+    X = rng.rand(n, d) * 100
+    grids = [np.linspace(-1.0, 101.0, 220) for _ in range(d)]
+    gshape = (220, 220, 220)
+    p = {"lengthscale": jnp.asarray(np.full(d, 25.0)),
+         "variance": jnp.asarray(1.0)}
+    i0, w0 = ski.build_interp_sep(X, grids)
+    L = np.asarray(ski.kron_eig_root(
+        "RBF", p, [jnp.asarray(g) for g in grids], gshape,
+        jnp.asarray(i0), jnp.asarray(w0), rank))
+    assert L.shape == (n, rank)
+    assert np.isfinite(L).all()
+    # L L^T must approximate the true SKI kernel W K_UU W^T from above
+    # spectral truncation only removes energy: diag(LL^T) <= k(x,x)
+    diag = np.einsum("ij,ij->i", L, L)
+    assert (diag <= 1.0 + 1e-5).all()
+    assert diag.mean() > 0.5          # and it's not degenerately small
+
+
 @pytest.mark.parametrize("precond_rank", [0, 12])
 def test_ski_mll_value_and_grad(precond_rank):
     """Loss value matches the dense MLL; trace-estimated gradients point
@@ -131,8 +195,9 @@ def test_ski_mll_value_and_grad(precond_rank):
                        jnp.asarray(idx), jnp.asarray(wgt),
                        n, g0, g1)
     if precond_rank:
+        i0, w0 = ski.build_interp_sep(X, grids)
         Lp = ski.kron_eig_root("RBF", p, grids_j, gshape,
-                               jnp.asarray(idx), jnp.asarray(wgt),
+                               jnp.asarray(i0), jnp.asarray(w0),
                                precond_rank)
     else:
         Lp = jnp.zeros((n, 0))
