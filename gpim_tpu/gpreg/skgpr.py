@@ -149,11 +149,17 @@ class skreconstructor:
         #    training data covers a full Cartesian grid with no NaNs - the
         #    regime GPyTorch's GridInterpolationKernel approximates
         #    (reference skgpr.py:436-440), closed form here;
-        # 2. grid interpolation + Kronecker MVMs + CG/SLQ
-        #    (gpim_tpu/ops/ski.py) for NaN-masked data, honoring
+        # 2. masked-grid Kronecker CG (gpim_tpu/gpreg/mgrid_model.py) when
+        #    the NaN-masked observations sit ON the Cartesian data lattice
+        #    (they always do for get_sparse_grid inputs): W is a masked
+        #    identity, so the operator is pure mode products - no
+        #    gather/scatter, no interpolation error;
+        # 3. generic grid interpolation + Kronecker MVMs + CG/SLQ
+        #    (gpim_tpu/ops/ski.py) for off-lattice data, honoring
         #    grid_points_ratio and maxroot (reference skgpr.py:124-131,147).
         self._ski_engine = None
         self._kron_engine = None
+        self._mgrid_engine = None
         min_n = int(kwargs.get("ski_min_points", _SKI_MIN_N))
         if self.do_ski and self._Xd.shape[0] >= min_n \
                 and kernel != "Spectral":
@@ -170,19 +176,34 @@ class skreconstructor:
                 if self.verbose == 2:
                     print("Kronecker exact grid:", np.shape(y))
             else:
-                from gpim_tpu.gpreg.ski_model import SKIEngine
-                from gpim_tpu.ops import ski as ski_ops
-                grids = ski_ops.choose_grid(
-                    self.X, ratio=float(self.grid_points_ratio))
-                self._ski_engine = SKIEngine(
-                    self.kernel_type, np.asarray(self._Xd),
-                    np.asarray(self._maskd), grids,
-                    cg_iters=int(kwargs.get("cg_iterations", 64)),
-                    n_probes=int(kwargs.get("n_probes", 8)),
-                    precond_rank=int(kwargs.get("precond_rank", 512)),
-                    rank=int(self.maxroot), seed=seed)
-                if self.verbose == 2:
-                    print("SKI grid:", self._ski_engine.grid_shape)
+                from gpim_tpu.gpreg import mgrid_model
+                lat_axes = None
+                if kwargs.get("lattice", True):
+                    lat_axes = mgrid_model.detect_masked_lattice(X, y)
+                if lat_axes is not None:
+                    self._mgrid_engine = mgrid_model.MaskedGridEngine(
+                        self.kernel_type, lat_axes, ~np.isnan(y), y,
+                        self.dtype,
+                        cg_iters=int(kwargs.get("cg_iterations", 64)),
+                        n_probes=int(kwargs.get("n_probes", 8)),
+                        precond_rank=int(kwargs.get("precond_rank", 512)),
+                        seed=seed)
+                    if self.verbose == 2:
+                        print("Masked-lattice grid:", np.shape(y))
+                else:
+                    from gpim_tpu.gpreg.ski_model import SKIEngine
+                    from gpim_tpu.ops import ski as ski_ops
+                    grids = ski_ops.choose_grid(
+                        self.X, ratio=float(self.grid_points_ratio))
+                    self._ski_engine = SKIEngine(
+                        self.kernel_type, np.asarray(self._Xd),
+                        np.asarray(self._maskd), grids,
+                        cg_iters=int(kwargs.get("cg_iterations", 64)),
+                        n_probes=int(kwargs.get("n_probes", 8)),
+                        precond_rank=int(kwargs.get("precond_rank", 512)),
+                        rank=int(self.maxroot), seed=seed)
+                    if self.verbose == 2:
+                        print("SKI grid:", self._ski_engine.grid_shape)
 
     def _set_data(self, X_np, y_np):
         self.X, self.y = X_np, y_np
@@ -221,6 +242,15 @@ class skreconstructor:
                 u_k, self._Y_grid, self._bounds(), lr, jit,
                 iterations=int(self.iterations))
             self.u = {k: v[None] for k, v in u_k.items()}
+            traj = dict(traj)
+            traj["lengthscale"] = traj["lengthscale"][:, None, :]
+            traj["noise"] = traj["noise"][:, None]
+        elif self._mgrid_engine is not None:
+            u_g = {k: v[0] for k, v in self.u.items()}
+            u_g, traj = self._mgrid_engine.train(
+                u_g, self._bounds(), lr, jit,
+                iterations=int(self.iterations))
+            self.u = {k: v[None] for k, v in u_g.items()}
             traj = dict(traj)
             traj["lengthscale"] = traj["lengthscale"][:, None, :]
             traj["noise"] = traj["noise"][:, None]
@@ -291,26 +321,24 @@ class skreconstructor:
             self.num_batches = kwargs.get("num_batches")
         if kwargs.get("max_root") is not None:
             self.maxroot = kwargs.get("max_root")
+            eng = self._ski_engine or self._mgrid_engine
             if self._ski_engine is not None:
                 # propagate to the Lanczos variance rank (the reference
                 # silently drops this kwarg, skgpr.py:305-306); a changed
                 # rank recompiles the predict program once
                 self._ski_engine.rank = int(
                     min(self.maxroot, self._Xd.shape[0]))
-                if self._ski_engine.precond_rank > 0:
-                    # on the default (preconditioned) path the variance root
-                    # is the Kronecker eigen-root of rank precond_rank, so an
-                    # explicit max_root must CAP it to stay meaningful (it
-                    # can only cap: the probe bases were drawn at the
-                    # construction-time rank)
-                    capped = int(min(self.maxroot,
-                                     self._ski_engine.precond_rank))
-                    if self.verbose and capped < \
-                            self._ski_engine.precond_rank:
-                        print("max_root=%d caps the Nystrom/preconditioner "
-                              "rank (was %d)" % (
-                                  capped, self._ski_engine.precond_rank))
-                    self._ski_engine.precond_rank = capped
+            if eng is not None and eng.precond_rank > 0:
+                # on the default (preconditioned) path the variance root
+                # is the Kronecker eigen-root of rank precond_rank, so an
+                # explicit max_root must CAP it to stay meaningful (it
+                # can only cap: the probe bases were drawn at the
+                # construction-time rank)
+                capped = int(min(self.maxroot, eng.precond_rank))
+                if self.verbose and capped < eng.precond_rank:
+                    print("max_root=%d caps the Nystrom/preconditioner "
+                          "rank (was %d)" % (capped, eng.precond_rank))
+                eng.precond_rank = capped
         if self.verbose:
             print('Calculating predictive mean and uncertainty...')
         nan_rows = np.isnan(self.Xtest).any(axis=1)
@@ -350,6 +378,11 @@ class skreconstructor:
             mean, var = self._kron_engine.predict(
                 u_k, self._Y_grid, self._bounds(), jit, Xtest_clean,
                 mesh=self._mesh)
+            n_test = len(Xtest_clean)
+        elif self._mgrid_engine is not None:
+            u_g = {k: v[0] for k, v in self.u.items()}
+            mean, var = self._mgrid_engine.predict(
+                u_g, self._bounds(), jit, Xtest_clean, self.fulldims)
             n_test = len(Xtest_clean)
         elif self._ski_engine is not None:
             u_ski = {k: v[0] for k, v in self.u.items()}

@@ -42,7 +42,9 @@ from gpim_tpu.ops.linalg import safe_cholesky
 __all__ = [
     "choose_grid", "build_interp", "build_interp_sep", "ski_mvm",
     "batched_cg", "batched_pcg", "kron_eig_root", "make_preconditioner",
-    "lanczos", "ski_mll", "make_ski_predictor", "grid_kernel_factors",
+    "lanczos", "ski_mll", "ski_mll_from_mvm", "make_ski_predictor",
+    "grid_kernel_factors", "make_masked_grid_mvm", "grid_kr_rows",
+    "grid_nystrom_var", "make_grid_predictor", "grid_cross_factors",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -131,7 +133,16 @@ def build_interp_sep(X, grids):
 
 def grid_kernel_factors(kernel, p, grids):
     """Dense 1D kernel factors K_d; the output variance multiplies the
-    first factor. Product-form per dim (see module docstring)."""
+    first factor. Product-form per dim (see module docstring).
+
+    The returned factors are pinned with ``optimization_barrier``: fusing
+    the differentiated factor build (pairwise distances + exp) into the
+    G-sized mode-product contractions that consume it miscompiles on the
+    TPU backend (finite factor cotangents and a finite hand-chained VJP,
+    NaN for the fused value_and_grad - observed at 128-sized grid dims,
+    ncols >= 8). The factors are (g_k, g_k) - tiny next to their consumers
+    - so the lost fusion is irrelevant; same workaround family as
+    ops.linalg.safe_cholesky."""
     from gpim_tpu.kernels.functional import get_kernel_fn
     kfn = get_kernel_fn(kernel)
     d = len(grids)
@@ -143,7 +154,7 @@ def grid_kernel_factors(kernel, p, grids):
         if "alpha" in p:
             pk["alpha"] = p["alpha"]
         factors.append(kfn(pk, g[:, None], g[:, None]))
-    return factors
+    return list(jax.lax.optimization_barrier(tuple(factors)))
 
 
 def kron_mvm(factors, v_grid):
@@ -231,9 +242,20 @@ def kron_eig_root(kernel, p, grids, grid_shape, i0, w0, rank,
     out = None
     for k in range(d):
         U = Us[k]                                     # (g_k, r_k) pruned
-        Vk = (w0[:, k, None] * U[i0[:, k]]
-              + (1.0 - w0[:, k])[:, None] * U[i0[:, k] + 1])   # (n, r_k)
-        cols = Vk[:, mdim[k]]                          # (n, rank)
+        g_k = U.shape[0]
+        # column-select the per-mode eigenvector table (tiny gather), then
+        # apply the 1D interpolation as a DENSE (n, g_k) one-hot-weighted
+        # matrix times the (g_k, rank) table: a plain MXU gemm. The naive
+        # alternative - row-gather U[i0] then lane-dimension column gather
+        # [:, mdim[k]] - is pathologically slow on TPU (arbitrary
+        # minor-dim gathers don't vectorize; measured minutes vs
+        # milliseconds at n = 314k, rank = 512).
+        U_sel = U[:, mdim[k]]                          # (g_k, rank)
+        cells = jnp.arange(g_k, dtype=i0.dtype)[None, :]
+        P = (w0[:, k, None] * (i0[:, k, None] == cells)
+             + (1.0 - w0[:, k])[:, None]
+             * ((i0[:, k, None] + 1) == cells))        # (n, g_k) interp
+        cols = jnp.dot(P, U_sel, precision=jax.lax.Precision.HIGHEST)
         out = cols if out is None else out * cols
     out = out * jnp.sqrt(lam_top)[None, :]
     if mask is not None:
@@ -388,7 +410,11 @@ def _slq_from_tridiag(t_diags, t_offs, probe_sqnorms):
         T = (jnp.diag(diag)
              + jnp.diag(off[:-1], 1)
              + jnp.diag(off[:-1], -1))
-        lam, U = jnp.linalg.eigh(T)
+        # operand pinned like ops.linalg.safe_cholesky: a batched eigh whose
+        # operand is an otherwise-dead fused pipeline is exactly the
+        # whole-graph miscompile pattern (observed here on the TPU backend:
+        # finite value-only program, NaN under value_and_grad at G = 1M)
+        lam, U = jnp.linalg.eigh(jax.lax.optimization_barrier(T))
         lam = jnp.maximum(lam, 1e-30)
         return sq * jnp.sum(U[0, :] ** 2 * jnp.log(lam))
 
@@ -428,7 +454,14 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0, g1):
     unbiased (E[(P^-1 z) z^T] = I) WITHOUT differentiating through the
     preconditioner - it enters only via stop-gradient residuals. The caller
     adds constants and the padded-logdet correction outside."""
-    mvm = _make_mvm(kernel, grids, grid_shape, idx, wgt)
+    return ski_mll_from_mvm(
+        _make_mvm(kernel, grids, grid_shape, idx, wgt), cg_iters, g0, g1)
+
+
+def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
+    """:func:`ski_mll` core over an arbitrary ``mvm(p, noise_pj, v)``
+    (used by both the interpolation operator and the masked-grid operator;
+    same estimator contract as documented on ski_mll)."""
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def core(p, noise_pj, yc, Lp):
@@ -445,12 +478,19 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0, g1):
         B = jnp.concatenate([yc[:, None], z], axis=1)
         X, t_diags, t_offs = batched_pcg(
             lambda v: mvm(p, noise_pj, v), pinv, B, cg_iters)
-        alpha = X[:, 0]
-        solves = X[:, 1:]
-        w = pinv(z)                                  # P^-1 z
+        # the sliced loop outputs are pinned AFTER slicing: on the TPU
+        # backend, feeding a strided column slice of a loop output into the
+        # differentiated mvm of the backward pass miscompiles the LOOP
+        # itself (its X output turns NaN; observed at 128-sized leading
+        # grid dims, value-only program bit-exact and finite). A barrier on
+        # the whole X does NOT help; barriers on the slices do - the same
+        # workaround family as ops.linalg.safe_cholesky.
+        alpha, solves = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
+        w = jax.lax.optimization_barrier(pinv(z))    # P^-1 z
         sqnorms = jnp.sum(z * w, axis=0)             # |P^-1/2 z|^2
-        logdet = logdetP + _slq_from_tridiag(
-            t_diags[:, 1:], t_offs[:, 1:], sqnorms)
+        td, to = jax.lax.optimization_barrier(
+            (t_diags[:, 1:], t_offs[:, 1:]))         # sliced: see above
+        logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
         quad = 0.5 * jnp.dot(yc, alpha)
         out = quad + 0.5 * logdet
         return out, (p, noise_pj, alpha, solves, w, Lp)
@@ -594,5 +634,157 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
             half = solve_triangular(LT, c_star.T, lower=True)  # (r, m)
             var = kss - jnp.sum(half * half, axis=0)
         return mean, jnp.maximum(var, 0.0)
+
+    return predict
+
+
+# --------------------------------------------------------------------------
+# masked-grid operator: SKI for data ON the data lattice (the GPim headline
+# regime - X always comes from get_sparse_grid, so observed points sit
+# exactly on the Cartesian data grid). With the inducing grid EQUAL to the
+# data grid, W is a masked identity and the whole operator is
+#
+#     A v = M . K_UU (M . v) + (noise + jitter) v
+#
+# pure Kronecker mode products + elementwise masks: no gather, no scatter.
+# XLA's TPU scatter/gather lowering is the bottleneck of the generic
+# interpolation operator at large n (measured ~0.9 s per mvm at n = 314k
+# vs ~2 ms for the mode-product form at G = 1M), so on-lattice data gets
+# this operator; off-lattice data keeps the interpolation path.
+# --------------------------------------------------------------------------
+
+
+def make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat):
+    """mvm(p, noise_pj, v) for the masked-grid operator above; v is (G,) or
+    (G, b). ``mask_flat`` (G,) is 1 at observed grid cells."""
+    def mvm(p, noise_pj, v):
+        factors = grid_kernel_factors(kernel, p, grids)
+        squeeze = v.ndim == 1
+        if squeeze:
+            v = v[:, None]
+        b = v.shape[1]
+        vm = v * mask_flat[:, None]
+        t = kron_mvm(factors, vm.reshape(grid_shape + (b,))).reshape(-1, b)
+        out = mask_flat[:, None] * t + noise_pj * v
+        return out[:, 0] if squeeze else out
+    return mvm
+
+
+def grid_kr_rows(sel, lam_top, mask_flat=None):
+    """Materialize the (prod m_k, rank) Kronecker eigen-root on a grid:
+    row (i_1..i_d) of column m is prod_k sel[k][i_k, m] * sqrt(lam_m).
+
+    ``sel[k]``: (m_k, rank) per-dim mode tables (eigenvector tables with
+    columns already gathered by mode index - possibly pre-interpolated to a
+    different axis). The build runs as a lax.map over the leading dim so the
+    transient stays at one (prod m_{2..d}, rank) block per step.
+    """
+    d = len(sel)
+    root_lam = jnp.sqrt(lam_top)
+
+    def one(row0):                                    # (rank,) leading row
+        cols = row0[None, :]
+        for k in range(1, d):
+            cols = (cols[:, None, :] * sel[k][None, :, :]).reshape(
+                -1, cols.shape[-1])
+        return cols * root_lam[None, :]
+
+    blocks = jax.lax.map(one, sel[0])                 # (m_1, rest, rank)
+    out = blocks.reshape(-1, lam_top.shape[0])
+    if mask_flat is not None:
+        out = out * mask_flat[:, None]
+    return out
+
+
+def grid_nystrom_var(sel, Bmat, kss):
+    """Fused Nystrom predictive variance over a Cartesian test grid:
+    var = kss - row_norms^2(Lt Bmat), Lt rows built per leading-dim slice
+    (never materializing the full (M, rank) Lt). ``Bmat`` (rank, rank) must
+    already include the sqrt(lam) column scaling and the Nystrom rotation
+    (see make_grid_predictor)."""
+    d = len(sel)
+
+    def one(row0):
+        cols = row0[None, :]
+        for k in range(1, d):
+            cols = (cols[:, None, :] * sel[k][None, :, :]).reshape(
+                -1, cols.shape[-1])
+        H = jnp.dot(cols, Bmat, precision=jax.lax.Precision.HIGH)
+        return jnp.sum(H * H, axis=1)                 # (rest,)
+
+    sq = jax.lax.map(one, sel[0]).reshape(-1)
+    return jnp.maximum(kss - sq, 0.0)
+
+
+def grid_cross_factors(kernel, p, grids, test_axes):
+    """Per-dim 1D cross-covariance matrices C_k = k_1d(test_axis, grid_axis)
+    of shape (m_k, g_k); the output variance multiplies C_0 (same convention
+    as grid_kernel_factors). Because the grid kernel is a product of 1D
+    kernels, (x)_k C_k is the EXACT train-test cross-covariance - Cartesian
+    test grids need no interpolation at all."""
+    from gpim_tpu.kernels.functional import get_kernel_fn
+    kfn = get_kernel_fn(kernel)
+    d = len(grids)
+    ls = jnp.broadcast_to(p["lengthscale"], (d,))
+    out = []
+    for k, (t, g) in enumerate(zip(test_axes, grids)):
+        pk = {"lengthscale": ls[k][None],
+              "variance": p["variance"] if k == 0 else 1.0}
+        if "alpha" in p:
+            pk["alpha"] = p["alpha"]
+        out.append(kfn(pk, t[:, None], g[:, None]))
+    return out
+
+
+def _nystrom_bmat(Lp, lam_top, noise_pj):
+    """Shared Nystrom rotation: with K_UU ~= U_r Lam U_r^T and
+    A ~= Lp Lp^T + noise I (Lp = M U_r sqrt(Lam)), the predictive-variance
+    correction diag(K_*,t A^-1 K_*,t^T) equals row_norms^2 of
+
+        Lt Bmat,   Lt = C U_r Lam^{-1/2}  (Nystrom eigenfunction extension
+                                           of the top modes to test points),
+        Bmat = Lam^{-1/2}-scaled  Un sqrt(lam_n / (lam_n + noise)),
+
+    where N = Lp^T Lp = Un lam_n Un^T (push-through identity). For
+    test == train grid, C U_r = U_r Lam and Lt reduces to U_r sqrt(Lam)."""
+    N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
+    lam_n, Un = jnp.linalg.eigh(N)
+    lam_n = jnp.maximum(lam_n, 0.0)
+    scale = jnp.sqrt(lam_n / (lam_n + noise_pj))
+    inv_root = 1.0 / jnp.sqrt(
+        jnp.maximum(lam_top, 1e-12 * jnp.max(lam_top)))
+    return inv_root[:, None] * (Un * scale[None, :])
+
+
+def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank):
+    """Returns predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss) ->
+    (mean, var) for the masked-grid operator over a Cartesian test grid
+    given by per-dim test axes ``t_axes``.
+
+    mean = (x)C_k (M alpha) with EXACT per-dim cross-covariances C_k
+    (alpha = A^-1 yc by preconditioned CG - zero interpolation error, the
+    only approximations are CG tolerance and the rank-r Nystrom variance);
+    var = Nystrom extension of the same Kronecker eigen-root that
+    preconditions the solve, fused per leading-dim slice.
+    """
+    from gpim_tpu.ops.kron_exact import modeprod
+
+    def predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss):
+        mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat)
+        lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, precond_rank)
+        sel = [Us[k][:, mdim[k]] for k in range(len(grids))]
+        Lp = grid_kr_rows(sel, lam_top, mask_flat)
+        pinv, _ = make_preconditioner(Lp, noise_pj)
+        alpha, _, _ = batched_pcg(
+            lambda v: mvm(p, noise_pj, v), pinv, yc_flat[:, None], cg_iters)
+        am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
+        C_list = grid_cross_factors(kernel, p, grids, t_axes)
+        mean = modeprod(C_list, am).reshape(-1)
+
+        Bmat = _nystrom_bmat(Lp, lam_top, noise_pj)
+        sel_t = [jnp.dot(C, s, precision=jax.lax.Precision.HIGHEST)
+                 for C, s in zip(C_list, sel)]
+        var = grid_nystrom_var(sel_t, Bmat, kss)
+        return mean, var
 
     return predict

@@ -85,7 +85,8 @@ def test_num_batches_prediction_equivalence():
 def test_max_root_propagates_to_ski_engine():
     X, Rn, Xf = _toy_2d(n=20, missing=80)
     m = skreconstructor(X, Rn, Xf, iterations=2, verbose=0,
-                        ski=True, ski_min_points=1, maxroot=32)
+                        ski=True, ski_min_points=1, maxroot=32,
+                        lattice=False)
     assert m._ski_engine is not None, "SKI path not selected"
     assert m._ski_engine.rank == 32
     m.train()

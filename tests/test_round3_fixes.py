@@ -23,30 +23,37 @@ def _toy_2d(n=20, missing=80, seed=0):
     return utils.get_sparse_grid(Rn), Rn, utils.get_full_grid(Rn)
 
 
-def test_ski_zero_iterations_predict_only():
+import pytest
+
+
+@pytest.mark.parametrize("lattice", [True, False])
+def test_ski_zero_iterations_predict_only(lattice):
     """A 0-iteration train() (predict-only flow) must return empty
-    trajectories, not crash on trajs[0]."""
+    trajectories, not crash on trajs[0] - on both structured engines."""
     X, Rn, Xf = _toy_2d()
     m = skreconstructor(X, Rn, Xf, iterations=0, verbose=0,
-                        ski=True, ski_min_points=1)
-    assert m._ski_engine is not None, "SKI path not selected"
+                        ski=True, ski_min_points=1, lattice=lattice)
+    eng = m._mgrid_engine if lattice else m._ski_engine
+    assert eng is not None, "structured path not selected"
     mean, sd, hp = m.run()
     assert hp["lengthscale"].shape[0] == 0
     assert hp["noise"].shape[0] == 0
     assert np.isfinite(mean).all() and np.isfinite(sd).all()
 
 
-def test_max_root_caps_nystrom_rank():
+@pytest.mark.parametrize("lattice", [True, False])
+def test_max_root_caps_nystrom_rank(lattice):
     """With preconditioning on (the default), an explicit max_root must cap
     the Nystrom/preconditioner rank - not silently no-op (round-2 advisor)."""
     X, Rn, Xf = _toy_2d()
     m = skreconstructor(X, Rn, Xf, iterations=2, verbose=0,
-                        ski=True, ski_min_points=1)
-    assert m._ski_engine is not None
-    assert m._ski_engine.precond_rank > 16
+                        ski=True, ski_min_points=1, lattice=lattice)
+    eng = m._mgrid_engine if lattice else m._ski_engine
+    assert eng is not None
+    assert eng.precond_rank > 16
     m.train()
     mean, sd = m.predict(max_root=16, verbose=0)
-    assert m._ski_engine.precond_rank == 16
+    assert eng.precond_rank == 16
     assert np.isfinite(mean).all() and np.isfinite(sd).all()
 
 
