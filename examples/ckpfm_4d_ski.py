@@ -12,6 +12,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # smoke-test hook: tests/test_examples.py runs every example with a
 # tiny iteration budget through this env override
@@ -20,14 +21,13 @@ _ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 50))
 
 import gpim_tpu
 from gpim_tpu import utils, skreconstructor
-
-NPZ = "/root/reference/expdata/cKPFM loop_0001 10 x 10-proc.npz"
+import _data
 
 
 def main():
-    d = np.load(NPZ)
-    R = (d["Nd_mat_amp"] * np.cos(d["Nd_mat_phase"]))[..., 1, :, :]
-    R = (R - R.min()) / np.ptp(R)
+    # 10x10x64x5 cKPFM response grid (bundled when available, synthetic
+    # stand-in otherwise; see examples/_data.py)
+    R = _data.ckpfm_slab()
     X = utils.get_full_grid(R)
 
     model = skreconstructor(

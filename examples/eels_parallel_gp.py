@@ -12,6 +12,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # smoke-test hook: tests/test_examples.py runs every example with a
 # tiny iteration budget through this env override
@@ -20,13 +21,13 @@ _ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 100))
 
 import gpim_tpu
 from gpim_tpu import utils, vreconstructor
-
-CUBE = "/root/reference/expdata/bepfm_test_data.npy"
+import _data
 
 
 def main():
     # stand-in for the (missing) eels.npy source: band-averaged components
-    cube = np.load(CUBE)
+    # of the BEPFM cube (bundled when available, synthetic otherwise)
+    cube = _data.bepfm_cube()
     bands = np.stack([cube[:, :, i * 15:(i + 1) * 15].mean(-1)
                       for i in range(6)], axis=-1)
     bands = (bands - bands.min()) / np.ptp(bands)

@@ -12,6 +12,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # smoke-test hook: tests/test_examples.py runs every example with a
 # tiny iteration budget through this env override
@@ -20,13 +21,13 @@ _ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 400))
 
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
-
-CUBE = "/root/reference/expdata/bepfm_test_data_sparse.npy"
-TRUTH = "/root/reference/expdata/bepfm_test_data.npy"
+import _data
 
 
 def main():
-    R = np.load(CUBE)                       # NaN-sparse (32, 32, 102)
+    # NaN-sparse (32, 32, 102): bundled BEPFM cube when available,
+    # synthetic stand-in otherwise (examples/_data.py)
+    R = _data.bepfm_cube(sparse=True)
     X = utils.get_sparse_grid(R)
     X_full = utils.get_full_grid(R)
 
@@ -36,12 +37,9 @@ def main():
         learning_rate=0.05, iterations=_ITERS, verbose=2)
     mean, sd, hyperparams = model.run()
 
-    try:
-        truth = np.load(TRUTH)
-        print("mean abs error vs ground truth:",
-              float(np.abs(mean - truth).mean()))
-    except OSError:
-        pass
+    truth = _data.bepfm_cube(sparse=False)
+    print("mean abs error vs ground truth:",
+          float(np.abs(mean - truth).mean()))
     utils.plot_reconstructed_data3d(np.nan_to_num(R), mean, sd,
                                     slice_number=50, pos=[[5, 10], [20, 25]])
 

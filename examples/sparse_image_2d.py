@@ -20,6 +20,8 @@ _ITERS = int(os.environ.get("GPIM_TPU_EXAMPLE_ITERS", 250))
 
 import gpim_tpu
 from gpim_tpu import utils, reconstructor
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _data
 
 
 def main():
@@ -30,11 +32,9 @@ def main():
             vals, counts = np.unique(R, return_counts=True)
             R[R == vals[np.argmax(counts)]] = np.nan
     else:
-        # synthetic demo: corrupt a smooth image
-        xx, yy = np.meshgrid(np.arange(0, 100, 1.0), np.arange(0, 100, 1.0))
-        R_true = np.exp(-((xx - 40) ** 2 + (yy - 60) ** 2) / 500)
-        X_true = utils.get_full_grid(R_true)
-        _, R = utils.corrupt_data_xy(X_true, R_true, prob=0.7)
+        # the 128x128 spiral scan (real when bundled, synthetic spiral
+        # acquisition otherwise; see examples/_data.py)
+        R = _data.spiral_scan()
 
     R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
     X = utils.get_sparse_grid(R)       # NaN-marked grid indices
