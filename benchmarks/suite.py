@@ -15,9 +15,12 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "examples"))
 
-EXPDATA = "/root/reference/expdata"
+import _data  # bundled-dataset resolution with synthetic fallbacks
+
 QUICK = "--quick" in sys.argv
 
 
@@ -33,11 +36,7 @@ def bench_spiral_2d():
     """#1: 128x128 sparse-spiral PFM, exact GP, RBF, 250 iters."""
     import gpim_tpu
     from gpim_tpu import reconstructor, utils
-    img = np.load(os.path.join(EXPDATA, "spiral_s_00010_2019.npy"))
-    vals, counts = np.unique(img, return_counts=True)
-    R = img.copy()
-    R[R == vals[np.argmax(counts)]] = np.nan
-    R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
+    R = _data.spiral_scan()
     X = utils.get_sparse_grid(R)
     Xf = utils.get_full_grid(R)
     iters = 25 if QUICK else 250
@@ -103,8 +102,8 @@ def bench_bepfm_3d_sparse():
     """#3: 32x32x102 sparse BEPFM cube (70.6% NaN), VFE sparse GP."""
     import gpim_tpu
     from gpim_tpu import reconstructor, utils
-    R = np.load(os.path.join(EXPDATA, "bepfm_test_data_sparse.npy"))
-    truth = np.load(os.path.join(EXPDATA, "bepfm_test_data.npy"))
+    R = _data.bepfm_cube(sparse=True)
+    truth = _data.bepfm_cube()
     X = utils.get_sparse_grid(R)
     Xf = utils.get_full_grid(R)
     iters = 40 if QUICK else 400
@@ -138,7 +137,7 @@ def bench_eels_parallel():
     missing eels.npy source (reference .MISSING_LARGE_BLOBS:2)."""
     import gpim_tpu
     from gpim_tpu import utils, vreconstructor
-    cube = np.load(os.path.join(EXPDATA, "bepfm_test_data.npy"))
+    cube = _data.bepfm_cube()
     bands = np.stack([cube[:, :, i * 15:(i + 1) * 15].mean(-1)
                       for i in range(6)], axis=-1)
     bands = (bands - bands.min()) / np.ptp(bands)
@@ -165,9 +164,7 @@ def bench_ckpfm_4d_ski():
     """#5: 4D cKPFM (10x10x64x5 grid), structured-kernel (SKI) GP."""
     import gpim_tpu
     from gpim_tpu import utils, skreconstructor
-    d = np.load(os.path.join(EXPDATA, "cKPFM loop_0001 10 x 10-proc.npz"))
-    R = (d["Nd_mat_amp"] * np.cos(d["Nd_mat_phase"]))[..., 1, :, :]
-    R = (R - R.min()) / np.ptp(R)
+    R = _data.ckpfm_slab()
     X = utils.get_full_grid(R)
     iters = 10 if QUICK else 50
 
@@ -218,6 +215,66 @@ def bench_ski_masked_3d():
             "rmse_vs_truth": round(rmse, 4)}
 
 
+def bench_mgrid_1m():
+    """#7: reference-scale structured GP - a 1,048,576-point 128x128x64
+    masked cube (70% of spectra removed, ~315k observed values), trained
+    and predicted through the masked-grid Kronecker engine (the regime of
+    the reference's headline '128 x 128' BEPFM map, skgpr.py:436-440 and
+    BASELINE.md, far beyond dense-GP reach). Sanity is cross-checked
+    against an exact GP trained on a 4k subsample of the observed points:
+    the two posterior means must agree to a fraction of the data sd."""
+    import gpim_tpu
+    from gpim_tpu import utils, skreconstructor, reconstructor
+    rng = np.random.RandomState(0)
+    shape = (128, 128, 64)
+    ax = [np.arange(s, dtype=np.float64) for s in shape]
+    xx, yy, zz = np.meshgrid(*ax, indexing="ij")
+    f = (np.sin(xx / 9.0) * np.cos(yy / 11.0)
+         + np.exp(-((zz - 30.0) / 15.0) ** 2))
+    f = (f - f.min()) / np.ptp(f)
+    R = f + 0.02 * rng.randn(*shape)
+    sites = rng.choice(shape[0] * shape[1],
+                       int(0.7 * shape[0] * shape[1]), replace=False)
+    R.reshape(-1, shape[2])[sites] = np.nan
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    iters = 3 if QUICK else 30
+
+    eng_box = {}
+
+    def run():
+        m = skreconstructor(X, R, Xf, kernel="RBF", learning_rate=0.1,
+                            iterations=iters, verbose=0)
+        eng_box["m"] = m
+        return m.run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    assert eng_box["m"]._mgrid_engine is not None
+    rmse = float(np.sqrt(np.mean((mean.reshape(shape) - f) ** 2)))
+    n_obs = int((~np.isnan(R)).sum())
+
+    # cross-check: exact GP on a 4k subsample, compared on 2k grid points
+    obs_idx = np.flatnonzero(~np.isnan(R).ravel())
+    sub = rng.choice(obs_idx, 4000, replace=False)
+    probe = rng.choice(obs_idx, 2000, replace=False)
+    Xs = np.stack(np.unravel_index(sub, shape), 0).astype(np.float64)
+    Xp = np.stack(np.unravel_index(probe, shape), 0).astype(np.float64)
+    # flat y gives the exact model no grid-shape prior: set ARD bounds
+    # spanning the cube's true correlation lengths explicitly
+    m_ex = reconstructor(Xs, R.ravel()[sub], Xp, kernel="RBF",
+                         lengthscale=[[0.5] * 3, [50.0] * 3],
+                         iterations=200, learning_rate=0.1, verbose=0)
+    mean_ex, sd_ex, _ = m_ex.run()
+    dis = float(np.sqrt(np.mean((mean.ravel()[probe] - mean_ex) ** 2)))
+    return {"metric": "mgrid_masked128x128x64_wall",
+            "value": round(warm, 3), "unit": "s", "iterations": iters,
+            "n_grid": int(np.prod(shape)), "n_obs": n_obs,
+            "s_per_iter": round(warm / iters, 3),
+            "rmse_vs_truth": round(rmse, 4),
+            "xcheck_rmse_vs_exact4k": round(dis, 4),
+            "data_sd": round(float(np.nanstd(R)), 4)}
+
+
 def bench_component_tflops():
     """Hot-op microbenchmarks at the flagship working size (n = 4224):
     the kernel/Cholesky TFLOP/s metrics BASELINE.json asks for."""
@@ -263,7 +320,7 @@ def bench_component_tflops():
 
 BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bepfm_3d_sparse,
            bench_eels_parallel, bench_ckpfm_4d_ski, bench_ski_masked_3d,
-           bench_component_tflops]
+           bench_mgrid_1m, bench_component_tflops]
 
 
 def main():
