@@ -173,11 +173,11 @@ def _train_seg(u0, opt_state, Lp, axes, mask_flat, g0, g1, y_flat,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
-                                   "precond_rank"))
+                                   "precond_rank", "mesh"))
 def _predict_grid(u, axes, mask_flat, y_flat, t_axes, bounds, jitter, *,
-                  kernel, grid_shape, cg_iters, precond_rank):
+                  kernel, grid_shape, cg_iters, precond_rank, mesh=None):
     predictor = ski.make_grid_predictor(
-        kernel, list(axes), grid_shape, cg_iters, precond_rank)
+        kernel, list(axes), grid_shape, cg_iters, precond_rank, mesh=mesh)
     p = _constrain(u, bounds)
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
@@ -189,11 +189,13 @@ def _predict_grid(u, axes, mask_flat, y_flat, t_axes, bounds, jitter, *,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
-                                   "precond_rank"))
+                                   "precond_rank", "mesh"))
 def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
-                    kernel, grid_shape, cg_iters, precond_rank):
+                    kernel, grid_shape, cg_iters, precond_rank, mesh=None):
     """Scattered-test fallback: exact per-dim cross-covariance einsum chains
-    per chunk (no gathers), Nystrom-extension variance."""
+    per chunk (no gathers), Nystrom-extension variance. With a mesh, each
+    chunk's rows shard over 'grid' (per-row work is independent)."""
+    shard = ski._grid_sharder(mesh)
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     yc = (y_flat - p["mean"]) * mask_flat
@@ -211,6 +213,7 @@ def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
     d = len(axes)
 
     def one(xc):
+        xc = shard(xc, ("grid", None))
         E = ski.grid_cross_factors(
             kernel, kp, list(axes), [xc[:, k] for k in range(d)])
         # mean: per-point Kronecker cross-rows contracted mode by mode
@@ -308,9 +311,10 @@ class MaskedGridEngine:
                 for k in trajs[0]}
         return u, full
 
-    def predict(self, u, bounds, jitter, Xtest_clean, fulldims):
+    def predict(self, u, bounds, jitter, Xtest_clean, fulldims, mesh=None):
         """Cartesian test grids run the fused mode-product path; scattered
-        test points fall back to corner gathers (once per predict)."""
+        test points fall back to corner gathers (once per predict). With a
+        mesh, test rows shard over its 'grid' axis on both paths."""
         t_axes = None
         if fulldims is not None and len(fulldims) == len(self.grid_shape) \
                 and len(Xtest_clean) == int(np.prod(fulldims)):
@@ -322,12 +326,13 @@ class MaskedGridEngine:
                 u, self._axes, self._mask, self._y, t_axes_j,
                 bounds, jitter, kernel=self.kernel,
                 grid_shape=self.grid_shape, cg_iters=self.cg_iters,
-                precond_rank=self.precond_rank)
+                precond_rank=self.precond_rank, mesh=mesh)
         from gpim_tpu.gpreg import engine as _eng
         Xt = np.asarray(Xtest_clean, self.dtype)
         chunks, n_t = _eng.chunk_rows(Xt, min(4096, max(128, len(Xt))))
         mean, var = _predict_points(
             u, self._axes, self._mask, self._y, jnp.asarray(chunks),
             bounds, jitter, kernel=self.kernel, grid_shape=self.grid_shape,
-            cg_iters=self.cg_iters, precond_rank=self.precond_rank)
+            cg_iters=self.cg_iters, precond_rank=self.precond_rank,
+            mesh=mesh)
         return mean[:n_t], var[:n_t]

@@ -22,7 +22,7 @@ kept for API parity via the ``n_samples`` kwarg.
 """
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -210,17 +210,37 @@ def _task_cov(p):
     return (p["F"] @ p["F"].T + jnp.diag(p["task_var"]))
 
 
-def _corr_factorize(u, X, Y, bounds, jitter, kernel):
-    """Eigendecompose B, rotate Y, batch-factorize the T decoupled systems."""
+def _task_sharder(mesh):
+    """Returns constrain(x, spec): a with_sharding_constraint applier that
+    pins the ROTATED-task axis of the batched (T, n, n) factorization
+    tensors to the mesh 'task' axis. The decoupled systems are
+    embarrassingly task-parallel (reference vgpr.py:310-312 regime), so
+    each chip factorizes its slice of systems; constraints are
+    semantics-preserving placement hints. No-op without a mesh."""
+    if mesh is None:
+        return lambda x, spec: x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    return constrain
+
+
+def _corr_factorize(u, X, Y, bounds, jitter, kernel, mesh=None):
+    """Eigendecompose B, rotate Y, batch-factorize the T decoupled systems
+    (sharded over the mesh 'task' axis when given)."""
+    c = _task_sharder(mesh)
     kfn = get_kernel_fn(kernel)
     p = _constrain_corr(u, bounds)
     B = _task_cov(p)
     lam_b, Qb = jnp.linalg.eigh(B)
-    lam_b = jnp.maximum(lam_b, 1e-12)
+    lam_b = c(jnp.maximum(lam_b, 1e-12), ("task",))
     Kx = kfn(p, X, X)
     n = X.shape[0]
     eye = jnp.eye(n, dtype=X.dtype)
-    Yc = (Y - p["mean"][None, :]) @ Qb          # (n, T) rotated targets
+    Yc = c((Y - p["mean"][None, :]) @ Qb, (None, "task"))  # rotated targets
 
     def factor_one(lam, yt):
         A = lam * Kx + (p["noise"] + jitter) * eye
@@ -229,11 +249,13 @@ def _corr_factorize(u, X, Y, bounds, jitter, kernel):
         return L, alpha
 
     Ls, alphas = jax.vmap(factor_one, in_axes=(0, 1))(lam_b, Yc)
+    Ls = c(Ls, ("task", None, None))
+    alphas = c(alphas, ("task", None))
     return p, Kx, lam_b, Qb, Ls, alphas, Yc
 
 
-@jax.custom_vjp
-def _kron_mt_core(Kx, B, noise, Yc):
+@lru_cache(maxsize=None)
+def _make_kron_mt_core(mesh=None):
     """0.5 y^T A^-1 y + 0.5 logdet A for the Kronecker multitask system
     A = Kx (x) B + noise I, with vec(Yc) in row-major (n, T) ordering.
 
@@ -256,55 +278,68 @@ def _kron_mt_core(Kx, B, noise, Yc):
     degenerate eigenvalue block (c_t is constant there and S transforms as a
     2-tensor), so repeated eigenvalues are harmless - the same trick
     ops/kron_exact.py uses for its per-dim rotations.
+
+    With a mesh, the batched (T, n, n) factorizations (fwd Cholesky and bwd
+    explicit inverse - where ~all the flops and memory are) shard over the
+    'task' axis; Kx/B/the scalar output stay replicated. Cached per mesh so
+    each sharding gets one custom-VJP instance (and one jit trace).
     """
-    out, _ = _kron_mt_fwd(Kx, B, noise, Yc)
-    return out
+    c = _task_sharder(mesh)
+
+    @jax.custom_vjp
+    def core(Kx, B, noise, Yc):
+        out, _ = fwd(Kx, B, noise, Yc)
+        return out
+
+    def fwd(Kx, B, noise, Yc):
+        n = Kx.shape[0]
+        lam_b, Qb = jnp.linalg.eigh(B)
+        lam_b = c(jnp.maximum(lam_b, 1e-12), ("task",))
+        Yt = c(Yc @ Qb, (None, "task"))            # rotated targets (n, T)
+        eye = jnp.eye(n, dtype=Kx.dtype)
+
+        def factor_one(lam, yt):
+            L = safe_cholesky(lam * Kx + noise * eye)
+            at = cho_solve((L, True), yt)
+            return L, at, jnp.sum(jnp.log(jnp.diagonal(L)))
+
+        Ls, at, half_logdets = jax.vmap(
+            factor_one, in_axes=(0, 1), out_axes=(0, 1, 0))(lam_b, Yt)
+        Ls = c(Ls, ("task", None, None))
+        at = c(at, (None, "task"))
+        out = 0.5 * jnp.sum(Yt * at) + jnp.sum(half_logdets)
+        return out, (Kx, lam_b, Qb, Ls, at)
+
+    def bwd(res, g):
+        Kx, lam_b, Qb, Ls, at = res
+        n = Kx.shape[0]
+        eye = jnp.eye(n, dtype=Kx.dtype)
+
+        def inv_one(L):
+            V = solve_triangular(L, eye, lower=True)
+            # bf16x3 suffices for gradient-reduction fidelity (engine.py)
+            return jnp.dot(V.T, V, precision=jax.lax.Precision.HIGH)
+
+        Inv = c(jax.vmap(inv_one)(Ls), ("task", None, None))   # (T, n, n)
+        tr_c = jnp.sum(Inv * Kx[None], axis=(1, 2))       # tr(A_t^-1 Kx)
+        S = at.T @ (Kx @ at)                              # (T, T)
+        dB = 0.5 * g * (Qb @ (jnp.diag(tr_c) - S) @ Qb.T)
+        dKx = 0.5 * g * (jnp.einsum("t,tij->ij", lam_b, Inv)
+                         - (at * lam_b[None, :]) @ at.T)
+        dnoise = 0.5 * g * (jnp.sum(jax.vmap(jnp.trace)(Inv))
+                            - jnp.sum(at * at))
+        dYc = g * (at @ Qb.T)
+        return dKx, dB, dnoise, dYc
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
-def _kron_mt_fwd(Kx, B, noise, Yc):
-    n = Kx.shape[0]
-    lam_b, Qb = jnp.linalg.eigh(B)
-    lam_b = jnp.maximum(lam_b, 1e-12)
-    Yt = Yc @ Qb                                   # rotated targets (n, T)
-    eye = jnp.eye(n, dtype=Kx.dtype)
-
-    def factor_one(lam, yt):
-        L = safe_cholesky(lam * Kx + noise * eye)
-        at = cho_solve((L, True), yt)
-        return L, at, jnp.sum(jnp.log(jnp.diagonal(L)))
-
-    Ls, at, half_logdets = jax.vmap(
-        factor_one, in_axes=(0, 1), out_axes=(0, 1, 0))(lam_b, Yt)
-    out = 0.5 * jnp.sum(Yt * at) + jnp.sum(half_logdets)
-    return out, (Kx, lam_b, Qb, Ls, at)
+# the default (single-chip) core instance; tests target this name directly
+_kron_mt_core = _make_kron_mt_core(None)
 
 
-def _kron_mt_bwd(res, g):
-    Kx, lam_b, Qb, Ls, at = res
-    n = Kx.shape[0]
-    eye = jnp.eye(n, dtype=Kx.dtype)
-
-    def inv_one(L):
-        V = solve_triangular(L, eye, lower=True)
-        # bf16x3 suffices for gradient-reduction fidelity (engine.py policy)
-        return jnp.dot(V.T, V, precision=jax.lax.Precision.HIGH)
-
-    Inv = jax.vmap(inv_one)(Ls)                           # (T, n, n)
-    c = jnp.sum(Inv * Kx[None], axis=(1, 2))              # tr(A_t^-1 Kx)
-    S = at.T @ (Kx @ at)                                  # (T, T)
-    dB = 0.5 * g * (Qb @ (jnp.diag(c) - S) @ Qb.T)
-    dKx = 0.5 * g * (jnp.einsum("t,tij->ij", lam_b, Inv)
-                     - (at * lam_b[None, :]) @ at.T)
-    dnoise = 0.5 * g * (jnp.sum(jax.vmap(jnp.trace)(Inv))
-                        - jnp.sum(at * at))
-    dYc = g * (at @ Qb.T)
-    return dKx, dB, dnoise, dYc
-
-
-_kron_mt_core.defvjp(_kron_mt_fwd, _kron_mt_bwd)
-
-
-def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
+def _corr_loss(u, X, Y, bounds, jitter, *, kernel, mesh=None):
     """Kronecker multitask MLL, O(T n^3) via the decoupled custom-VJP core
     (reference vgpr.py:310-312 regime, where GPyTorch materializes lazy
     (nT x nT) algebra)."""
@@ -314,14 +349,15 @@ def _corr_loss(u, X, Y, bounds, jitter, *, kernel):
     B = _task_cov(p)
     Kx = kfn(p, X, X)
     Yc = Y - p["mean"][None, :]
-    nll = (_kron_mt_core(Kx, B, p["noise"] + jitter, Yc)
+    nll = (_make_kron_mt_core(mesh)(Kx, B, p["noise"] + jitter, Yc)
            + 0.5 * n * T * _LOG_2PI)
     return nll - interval_log_jacobian(
         u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"])
 
 
-@partial(jax.jit, static_argnames=("kernel", "iterations"))
-def train_correlated(u0, X, Y, bounds, lr, jitter, *, kernel, iterations):
+@partial(jax.jit, static_argnames=("kernel", "iterations", "mesh"))
+def train_correlated(u0, X, Y, bounds, lr, jitter, *, kernel, iterations,
+                     mesh=None):
     import optax
     opt = optax.adam(learning_rate=lr)
     opt_state = opt.init(u0)
@@ -329,7 +365,8 @@ def train_correlated(u0, X, Y, bounds, lr, jitter, *, kernel, iterations):
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(
-            partial(_corr_loss, kernel=kernel))(u, X, Y, bounds, jitter)
+            partial(_corr_loss, kernel=kernel, mesh=mesh))(
+                u, X, Y, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         rec = {
@@ -345,19 +382,22 @@ def train_correlated(u0, X, Y, bounds, lr, jitter, *, kernel, iterations):
     return u_final, traj
 
 
-@partial(jax.jit, static_argnames=("kernel", "noiseless"))
+@partial(jax.jit, static_argnames=("kernel", "noiseless", "mesh"))
 def predict_correlated(u, X, Y, bounds, jitter, Xtest_chunks, *,
-                       kernel, noiseless=False):
+                       kernel, noiseless=False, mesh=None):
     """Closed-form multitask predictive mean/variance.
 
     In the rotated task basis the posterior decouples:
     f~_t(x*) ~ N(lam_t k*^T A_t^{-1} y~_t,
                  lam_t k** - lam_t^2 k*^T A_t^{-1} k*);
     rotating back, Var(f_task) = sum_t Qb[task, t]^2 var~_t.
+
+    With a mesh, the T factorizations shard over 'task' and the caller may
+    additionally shard the chunk rows over 'grid' (vgpr.predict).
     """
     kfn = get_kernel_fn(kernel)
     p, Kx, lam_b, Qb, Ls, alphas, Yc = _corr_factorize(
-        u, X, Y, bounds, jitter, kernel)
+        u, X, Y, bounds, jitter, kernel, mesh)
 
     def one_chunk(xc):
         Ks = kfn(p, xc, X)                       # (chunk, n)

@@ -130,10 +130,11 @@ class skreconstructor:
                 "mean": jnp.zeros((1,), self.dtype),
             }
 
-        # opt-in multi-chip mesh: prediction tiles shard over a 1D 'grid'
-        # axis for the dense / spectral / Kronecker-exact paths (the SKI
-        # CG engine predicts all points in one gather-bound program and
-        # stays single-chip). Training stays replicated - one factorization.
+        # opt-in multi-chip mesh: prediction rows shard over a 1D 'grid'
+        # axis on EVERY path - dense / spectral / Kronecker-exact tiles,
+        # the masked-grid engine's test modes, and the generic SKI
+        # engine's per-row corner gathers + Nystrom gemm. Training stays
+        # replicated (one factorization / iteration-bound CG).
         self._mesh = None
         mesh_arg = kwargs.get("mesh")
         if mesh_arg is not None and mesh_arg is not False:
@@ -382,13 +383,14 @@ class skreconstructor:
         elif self._mgrid_engine is not None:
             u_g = {k: v[0] for k, v in self.u.items()}
             mean, var = self._mgrid_engine.predict(
-                u_g, self._bounds(), jit, Xtest_clean, self.fulldims)
+                u_g, self._bounds(), jit, Xtest_clean, self.fulldims,
+                mesh=self._mesh)
             n_test = len(Xtest_clean)
         elif self._ski_engine is not None:
             u_ski = {k: v[0] for k, v in self.u.items()}
             mean, var = self._ski_engine.predict(
                 u_ski, self._yd, self._maskd, self._bounds(), jit,
-                Xtest_clean)
+                Xtest_clean, mesh=self._mesh)
             n_test = len(Xtest_clean)
         else:
             chunks, n_test = _chunks()

@@ -96,13 +96,13 @@ def _train_seg(u0, opt_state, Lp, grids, idx, wgt, g0, g1, y, mask_,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
-                                   "rank", "precond_rank"))
+                                   "rank", "precond_rank", "mesh"))
 def _predict(u, grids, idx, wgt, i0, w0, y, mask_, bounds, jitter,
              test_idx, test_wgt, t_i0, t_w0, key, *, kernel, grid_shape,
-             cg_iters, rank, precond_rank):
+             cg_iters, rank, precond_rank, mesh=None):
     predictor = ski.make_ski_predictor(
         kernel, list(grids), grid_shape, idx, wgt, i0, w0, mask_,
-        cg_iters, rank, precond_rank=precond_rank)
+        cg_iters, rank, precond_rank=precond_rank, mesh=mesh)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -182,10 +182,11 @@ class SKIEngine:
                 for k in trajs[0]}
         return u, full
 
-    def predict(self, u, y, mask, bounds, jitter, Xtest_clean):
+    def predict(self, u, y, mask, bounds, jitter, Xtest_clean, mesh=None):
         """Host wrapper: builds test interpolation tensors then runs the
         jitted predictor over ALL test points at once (per-point cost is a
-        2^d gather + rank-r dot, no chunking needed)."""
+        2^d gather + rank-r dot, no chunking needed). With a mesh, test
+        rows shard over its 'grid' axis."""
         Xt = np.asarray(Xtest_clean, self.dtype)
         t_idx, t_wgt = ski.build_interp(Xt, self.grids_np)
         t_i0, t_w0 = ski.build_interp_sep(Xt, self.grids_np)
@@ -196,4 +197,4 @@ class SKIEngine:
             jnp.asarray(t_i0), jnp.asarray(t_w0), self._key,
             kernel=self.kernel, grid_shape=self.grid_shape,
             cg_iters=self.cg_iters, rank=self.rank,
-            precond_rank=self.precond_rank)
+            precond_rank=self.precond_rank, mesh=mesh)

@@ -46,7 +46,10 @@ class vreconstructor:
     grid, kernel 'RBF'|'Matern52', lengthscale bounds, independent (per-
     channel GPs vs correlated Kronecker multitask), learning_rate,
     iterations, use_gpu (ignored), verbose, seed; kwargs: isotropic,
-    precision, jitter, num_batches, task_rank (correlated mode, default 1).
+    precision, jitter, num_batches, task_rank (correlated mode, default 1),
+    mesh (multi-chip opt-in for BOTH modes: True / int / Mesh with
+    ('task', 'grid') axes - channels or decoupled rotated systems shard
+    over 'task', prediction rows over 'grid').
     """
 
     def __init__(self,
@@ -127,31 +130,28 @@ class vreconstructor:
                 "task_var": jnp.full((num_tasks,), positive_inverse(one)),
             }
 
-        # opt-in multi-chip mesh (independent mode): channels shard over the
+        # opt-in multi-chip mesh (both modes): channels (independent) or
+        # the T decoupled rotated systems (correlated) shard over the
         # 'task' axis, prediction rows over 'grid' (gpim_tpu/parallel).
         # mesh=True uses all devices; an int takes the first n; a
         # jax.sharding.Mesh with ('task', 'grid') axes is used as-is.
         self._mesh = None
         mesh_arg = kwargs.get("mesh")
         if mesh_arg is not None and mesh_arg is not False:
-            if not independent:
-                warnings.warn("mesh sharding applies to independent mode "
-                              "only; ignoring", UserWarning)
+            from jax.sharding import Mesh
+            from gpim_tpu.parallel import multichip
+            if isinstance(mesh_arg, Mesh):
+                self._mesh = mesh_arg
             else:
-                from jax.sharding import Mesh
-                from gpim_tpu.parallel import multichip
-                if isinstance(mesh_arg, Mesh):
-                    self._mesh = mesh_arg
-                else:
-                    n_dev = None if mesh_arg is True else int(mesh_arg)
-                    self._mesh = multichip.make_mesh_2d(n_dev)
-                t_ax = self._mesh.shape["task"]
-                if num_tasks % t_ax:
-                    warnings.warn(
-                        "num_tasks (%d) not divisible by mesh task axis "
-                        "(%d); running unsharded" % (num_tasks, t_ax),
-                        UserWarning)
-                    self._mesh = None
+                n_dev = None if mesh_arg is True else int(mesh_arg)
+                self._mesh = multichip.make_mesh_2d(n_dev)
+            t_ax = self._mesh.shape["task"]
+            if num_tasks % t_ax:
+                warnings.warn(
+                    "num_tasks (%d) not divisible by mesh task axis "
+                    "(%d); running unsharded" % (num_tasks, t_ax),
+                    UserWarning)
+                self._mesh = None
 
         self._set_data(X_np, Y_np)
         self.hyperparams = {}
@@ -205,10 +205,17 @@ class vreconstructor:
                     lr, jit, kernel=self.kernel_type,
                     iterations=int(self.iterations))
         else:
-            self.u, traj = multi.train_correlated(
-                self.u, self._Xd, self._Yd, self._bounds(),
-                lr, jit, kernel=self.kernel_type,
-                iterations=int(self.iterations))
+            if self._mesh is not None:
+                with self._mesh:
+                    self.u, traj = multi.train_correlated(
+                        self.u, self._Xd, self._Yd, self._bounds(),
+                        lr, jit, kernel=self.kernel_type,
+                        iterations=int(self.iterations), mesh=self._mesh)
+            else:
+                self.u, traj = multi.train_correlated(
+                    self.u, self._Xd, self._Yd, self._bounds(),
+                    lr, jit, kernel=self.kernel_type,
+                    iterations=int(self.iterations))
         traj = {k: np.asarray(v) for k, v in traj.items()}
         self._traj_list.append(traj)
         keys = [k for k in traj if k != "loss"]
@@ -273,9 +280,23 @@ class vreconstructor:
                     self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
                     jit, chunks_d, kernel=self.kernel_type)
         else:
-            mean, var = multi.predict_correlated(
-                self.u, self._Xd, self._Yd, self._bounds(),
-                jit, jnp.asarray(chunks), kernel=self.kernel_type)
+            chunks_d = jnp.asarray(chunks)
+            if self._mesh is not None:
+                if chunks.shape[1] % self._mesh.shape["grid"] == 0:
+                    from jax.sharding import NamedSharding, \
+                        PartitionSpec as P
+                    chunks_d = jax.device_put(
+                        chunks_d,
+                        NamedSharding(self._mesh, P(None, "grid", None)))
+                with self._mesh:
+                    mean, var = multi.predict_correlated(
+                        self.u, self._Xd, self._Yd, self._bounds(),
+                        jit, chunks_d, kernel=self.kernel_type,
+                        mesh=self._mesh)
+            else:
+                mean, var = multi.predict_correlated(
+                    self.u, self._Xd, self._Yd, self._bounds(),
+                    jit, chunks_d, kernel=self.kernel_type)
         mean = np.array(mean)[:n_test]
         var = np.array(var)[:n_test]
         n_samples = kwargs.get("n_samples")

@@ -550,7 +550,7 @@ def lanczos(mvm, v0, rank):
 
 
 def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
-                       cg_iters, rank, precond_rank=0):
+                       cg_iters, rank, precond_rank=0, mesh=None):
     """Returns predict(p, noise_pj, yc, test_idx, test_wgt, t_i0, t_w0,
     kss, key) -> (mean_correction-free mean, var) using cached SKI algebra:
 
@@ -564,11 +564,20 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
     points; the per-dim eigendecomposition is computed ONCE and shared by
     the train-side root Lp (preconditioner) and test-side root Lt (Nystrom
     variance).
+
+    With a mesh, the per-test-row work (corner gathers for the mean, the
+    test-side eigen-root Lt and its Nystrom gemm) shards over 'grid'; the
+    train-side solve stays replicated (iteration-bound CG).
     """
     mvm_full = _make_mvm(kernel, grids, grid_shape, idx, wgt)
     G = int(np.prod(grid_shape))
+    c = _grid_sharder(mesh)
 
     def predict(p, noise_pj, yc, test_idx, test_wgt, t_i0, t_w0, kss, key):
+        test_idx = c(test_idx, ("grid", None))
+        test_wgt = c(test_wgt, ("grid", None))
+        t_i0 = c(t_i0, ("grid", None))
+        t_w0 = c(t_w0, ("grid", None))
         factors = grid_kernel_factors(kernel, p, grids)
         mvm = lambda v: mvm_full(p, noise_pj, v)
         Lt = None
@@ -696,19 +705,39 @@ def grid_kr_rows(sel, lam_top, mask_flat=None):
     return out
 
 
-def grid_nystrom_var(sel, Bmat, kss):
+def _grid_sharder(mesh):
+    """Returns constrain(x, spec): with_sharding_constraint applier pinning
+    test-row axes to the mesh 'grid' axis (semantics-preserving placement
+    hints - prediction rows are embarrassingly parallel). No-op without a
+    mesh."""
+    if mesh is None:
+        return lambda x, spec: x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    return constrain
+
+
+def grid_nystrom_var(sel, Bmat, kss, shard=None):
     """Fused Nystrom predictive variance over a Cartesian test grid:
     var = kss - row_norms^2(Lt Bmat), Lt rows built per leading-dim slice
     (never materializing the full (M, rank) Lt). ``Bmat`` (rank, rank) must
     already include the sqrt(lam) column scaling and the Nystrom rotation
-    (see make_grid_predictor)."""
+    (see make_grid_predictor). ``shard`` (a _grid_sharder applier) splits
+    each slice's rows across chips - the lax.map stays sequential over the
+    leading dim, each step's (rest, rank) gemm runs mesh-parallel."""
     d = len(sel)
+    c = shard or (lambda x, spec: x)
 
     def one(row0):
         cols = row0[None, :]
         for k in range(1, d):
             cols = (cols[:, None, :] * sel[k][None, :, :]).reshape(
                 -1, cols.shape[-1])
+        cols = c(cols, ("grid", None))
         H = jnp.dot(cols, Bmat, precision=jax.lax.Precision.HIGH)
         return jnp.sum(H * H, axis=1)                 # (rest,)
 
@@ -756,7 +785,8 @@ def _nystrom_bmat(Lp, lam_top, noise_pj):
     return inv_root[:, None] * (Un * scale[None, :])
 
 
-def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank):
+def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
+                        mesh=None):
     """Returns predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss) ->
     (mean, var) for the masked-grid operator over a Cartesian test grid
     given by per-dim test axes ``t_axes``.
@@ -766,8 +796,15 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank):
     only approximations are CG tolerance and the rank-r Nystrom variance);
     var = Nystrom extension of the same Kronecker eigen-root that
     preconditions the solve, fused per leading-dim slice.
+
+    With a mesh, the test-side expansion (where the output-sized work is)
+    shards over the 'grid' axis: the mean's leading test mode and each
+    variance slice's rows. The CG solve stays replicated - it is
+    iteration-bound with G-sized state, and sharding the Kronecker mode
+    products would turn every mvm into a cross-chip reduce.
     """
     from gpim_tpu.ops.kron_exact import modeprod
+    c = _grid_sharder(mesh)
 
     def predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss):
         mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat)
@@ -779,12 +816,15 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank):
             lambda v: mvm(p, noise_pj, v), pinv, yc_flat[:, None], cg_iters)
         am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
         C_list = grid_cross_factors(kernel, p, grids, t_axes)
-        mean = modeprod(C_list, am).reshape(-1)
+        # shard the mean's leading test mode only: sel_t[0] below must stay
+        # replicated (it is the SEQUENTIAL lax.map axis of the variance)
+        mean = modeprod([c(C_list[0], ("grid", None))] + C_list[1:],
+                        am).reshape(-1)
 
         Bmat = _nystrom_bmat(Lp, lam_top, noise_pj)
         sel_t = [jnp.dot(C, s, precision=jax.lax.Precision.HIGHEST)
                  for C, s in zip(C_list, sel)]
-        var = grid_nystrom_var(sel_t, Bmat, kss)
+        var = grid_nystrom_var(sel_t, Bmat, kss, shard=c if mesh else None)
         return mean, var
 
     return predict

@@ -188,6 +188,57 @@ def test_skreconstructor_mesh_matches_unsharded():
     assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
 
 
+def test_skreconstructor_structured_mesh_matches_unsharded():
+    """Masked-lattice (mgrid) and generic off-lattice SKI prediction shard
+    test rows over 'grid' and must match the single-device numbers."""
+    from gpim_tpu import skreconstructor
+    X, Rn, Xf = _toy_recon_data()
+    for lattice in (True, False):
+        kw = dict(kernel="RBF", iterations=5, verbose=0, ski=True,
+                  ski_min_points=1, lattice=lattice)
+        r1 = skreconstructor(X, Rn, Xf, **kw)
+        r2 = skreconstructor(X, Rn, Xf, mesh=8, **kw)
+        if lattice:
+            assert r1._mgrid_engine is not None
+        else:
+            assert r1._ski_engine is not None
+        m1, s1, _ = r1.run()
+        m2, s2, _ = r2.run()
+        assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+        assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+
+
+def test_vreconstructor_correlated_mesh_matches_unsharded():
+    """Correlated (Kronecker multitask) mode: the T decoupled rotated
+    systems shard over 'task' (with_sharding_constraint on the batched
+    factorizations) and prediction rows over 'grid'; results must match
+    the single-device program."""
+    from gpim_tpu.gpreg.vgpr import vreconstructor
+    from gpim_tpu.utils import gridutils
+
+    rng = np.random.RandomState(0)
+    T = 4
+    base = np.add.outer(np.sin(np.arange(12) / 3.0),
+                        np.cos(np.arange(12) / 4.0))
+    Y = np.stack([base * (1 + 0.2 * t) + 0.05 * rng.randn(12, 12)
+                  for t in range(T)], -1)
+    Y[rng.rand(12, 12) < 0.3] = np.nan
+    X = gridutils.get_full_grid(Y[..., 0]).copy()
+    X[:, np.isnan(Y[..., 0])] = np.nan
+    Xf = gridutils.get_full_grid(Y[..., 0])
+
+    kw = dict(kernel="RBF", independent=False, iterations=10, verbose=0,
+              precision="single", task_rank=2)
+    r1 = vreconstructor(X, Y, Xf, **kw)
+    m1, s1, h1 = r1.run()
+    r2 = vreconstructor(X, Y, Xf, mesh=4, **kw)
+    assert r2._mesh is not None
+    m2, s2, h2 = r2.run()
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
+    assert_allclose(h1["lengthscale"], h2["lengthscale"], rtol=1e-5)
+
+
 def test_vreconstructor_mesh_indivisible_falls_back():
     import warnings as _w
     from gpim_tpu.gpreg.vgpr import vreconstructor
