@@ -52,7 +52,13 @@ class boptimizer:
     learning_rate, mesh (multi-chip opt-in, forwarded to the surrogate
     reconstructor: acquisition evaluates the surrogate over the FULL grid
     every step, and that dense prediction shards over the mesh's 'grid'
-    axis).
+    axis), refit_iterations (per-step retrain budget AFTER the first full
+    ``gp_iterations`` train; defaults to gp_iterations // 4. Each step's
+    retrain continues from the previous step's parameters - one new
+    measurement barely moves the optimum, so the reference's
+    full-budget-from-scratch retrain (boptim.py:459-470) spends ~4x the
+    steps converging to the same hyperparameters; pass
+    refit_iterations=gp_iterations to reproduce the reference schedule).
     """
 
     def __init__(self,
@@ -109,6 +115,9 @@ class boptimizer:
         self.points_mem = kwargs.get("memory", 10)
         self.exit_strategy = kwargs.get("exit_strategy", 1)
         self.mask = kwargs.get("mask", None)
+        refit = kwargs.get("refit_iterations")
+        self.refit_iterations = (max(1, int(gp_iterations) // 4)
+                                 if refit is None else int(refit))
         self.save_checkpoints = kwargs.get("save_checkpoints", False)
         self.filename = kwargs.get("filename", "./boptim_results")
         self._rng = np.random.RandomState(seed)
@@ -119,10 +128,13 @@ class boptimizer:
     # ------------------------------------------------------------------
 
     def update_posterior(self):
-        """Swap in the grown training set and retrain the surrogate
-        (reference boptim.py:239-251)."""
+        """Swap in the grown training set and retrain the surrogate,
+        warm-starting from the current parameters with the (reduced)
+        per-step budget (reference boptim.py:239-251; see class docstring
+        for the refit_iterations rationale)."""
         self.surrogate_model.update_data(self.X_sparse, self.y_sparse)
-        self.surrogate_model.train(verbose=self.verbose)
+        self.surrogate_model.train(verbose=self.verbose,
+                                   iterations=self.refit_iterations)
 
     def evaluate_function(self, indices, y_measured=None):
         """Evaluate the target at the selected grid indices

@@ -268,7 +268,8 @@ class reconstructor:
                 sparse=self.do_sparse)
             jax_block(u)
         self.u = u
-        traj = {k: np.asarray(v) for k, v in traj.items()}
+        from gpim_tpu.utils.hostio import fetch_tree
+        traj = fetch_tree(traj)   # ONE host round trip for all keys
         self._traj_list.append(traj)
         self._assemble_hyperparams()
         elapsed = time.time() - start_time
@@ -360,8 +361,10 @@ class reconstructor:
                 u, Xd, yd, maskd, self._bounds(),
                 jnp.asarray(self.jitter, self.dtype), chunks_d,
                 kernel=self.kernel_type, noiseless=False)
-            mean = np.array(mean)[:n_test]
-            sd = np.sqrt(np.array(var)[:n_test])
+            from gpim_tpu.utils.hostio import fetch_tree
+            mean, var = fetch_tree((mean, var))   # one fetch, not two
+            mean = mean[:n_test]
+            sd = np.sqrt(var[:n_test])
             mean[nan_rows] = np.nan
             sd[nan_rows] = np.nan
             mean = mean.reshape(self.fulldims)

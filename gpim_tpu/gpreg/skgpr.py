@@ -270,7 +270,8 @@ class skreconstructor:
                 self.u, self._Xd, Y1, self._maskd, self._bounds(),
                 lr, jit, kernel=self.kernel_type,
                 iterations=int(self.iterations))
-        traj = {k: np.asarray(v) for k, v in traj.items()}
+        from gpim_tpu.utils.hostio import fetch_tree
+        traj = fetch_tree(traj)   # ONE host round trip for all keys
         self._traj_list.append(traj)
         self._assemble_hyperparams()
         if self.verbose:
@@ -401,8 +402,10 @@ class skreconstructor:
                 self._bounds(), jit, chunks_d,
                 kernel=self.kernel_type)
             mean, var = mean[:, 0], var[:, 0]
-        mean = np.array(mean)[:n_test]
-        sd = np.sqrt(np.array(var)[:n_test])
+        from gpim_tpu.utils.hostio import fetch_tree
+        mean, var = fetch_tree((mean, var))   # one fetch, not two
+        mean = mean[:n_test]
+        sd = np.sqrt(var[:n_test])
         mean[nan_rows] = np.nan
         sd[nan_rows] = np.nan
         if self.verbose:

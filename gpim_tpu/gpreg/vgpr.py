@@ -216,7 +216,8 @@ class vreconstructor:
                     self.u, self._Xd, self._Yd, self._bounds(),
                     lr, jit, kernel=self.kernel_type,
                     iterations=int(self.iterations))
-        traj = {k: np.asarray(v) for k, v in traj.items()}
+        from gpim_tpu.utils.hostio import fetch_tree
+        traj = fetch_tree(traj)   # ONE host round trip for all keys
         self._traj_list.append(traj)
         keys = [k for k in traj if k != "loss"]
         self.hyperparams = {
@@ -297,8 +298,10 @@ class vreconstructor:
                 mean, var = multi.predict_correlated(
                     self.u, self._Xd, self._Yd, self._bounds(),
                     jit, chunks_d, kernel=self.kernel_type)
-        mean = np.array(mean)[:n_test]
-        var = np.array(var)[:n_test]
+        from gpim_tpu.utils.hostio import fetch_tree
+        mean, var = fetch_tree((mean, var))   # one fetch, not two
+        mean = mean[:n_test]
+        var = var[:n_test]
         n_samples = kwargs.get("n_samples")
         if n_samples:
             # API-parity MC estimator of the same closed-form posterior
