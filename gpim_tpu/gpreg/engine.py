@@ -309,27 +309,90 @@ def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):
     # trsm; the inverse's VJP is gemms too - measured 13.5 -> 9 ms/step
     # at n = 30k, m = 1k)
     Vm = tri_inverse(Lm)
-    A = jnp.dot(Vm, Kmn,
-                precision=jax.lax.Precision.HIGH) / jnp.sqrt(noise)
-    # bf16x3 ("high") keeps ~f32 fidelity for this length-n inner-product
-    # accumulation and is measurably faster than the package-default 6-pass
-    # "highest" (VFE step 15.2 -> 11.8 ms/iter at n=30k, m=1k). Distance
-    # expansions elsewhere MUST stay "highest" (see ops/gram.py) - this is
-    # a plain product of O(1)-scaled rows, not a cancellation-prone one.
-    B = (jnp.eye(m, dtype=X.dtype)
-         + jnp.dot(A, A.T, precision=jax.lax.Precision.HIGH))
-    LB = safe_cholesky(B)
     ym = y * mask
-    c = solve_triangular(LB, A @ ym, lower=True) / jnp.sqrt(noise)
+    B, a, t = _vfe_wide(Vm, Kmn, ym, noise, Lm)
+    LB = safe_cholesky(B)
+    c = solve_triangular(LB, a, lower=True) / jnp.sqrt(noise)
     n_eff = jnp.sum(mask)
     kdiag = kernel_diag(kernel, p, X) * mask
-    trace_term = (jnp.sum(kdiag) / noise - jnp.sum(A * A))
+    trace_term = jnp.sum(kdiag) / noise - t
     nll = (0.5 * n_eff * (_LOG_2PI + jnp.log(noise))
            + jnp.sum(jnp.log(jnp.diagonal(LB)))
            + 0.5 * jnp.dot(ym, ym) / noise
            - 0.5 * jnp.dot(c, c)
            + 0.5 * trace_term)
     return nll - _log_jacobian(u, bounds)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _vfe_wide(Vm, Kmn, ym, noise, Lm):
+    """The n-wide core of the VFE bound, with a closed-form backward.
+
+    Returns (B, a, t): B = I + A A^T, a = A ym, t = sum(A^2), where
+    A = Vm Kmn / sqrt(noise) is the whitened feature matrix. Whitening
+    BEFORE squaring is essential in f32: collapsing to Q = Kmn Kmn^T first
+    halves the gemm count again but squares the un-whitened conditioning,
+    and B = I + Vm Q Vm^T / noise loses SPD to bf16 rounding (observed:
+    training NaNs at iteration ~35 on the BEPFM VFE benchmark on TPU).
+
+    The closed-form backward needs ONE n-wide gemm: autodiff of the same
+    code emits four (cotangents of the A product and the B syrk), because
+    it cannot use the algebraic identities A Kmn^T = sqrt(noise) (B-I) Lm^T
+    and Kmn ym = sqrt(noise) Lm a that collapse dVm and the noise gradient
+    to m^3 work. Measured 9.2 -> 6.5 ms/step at n = 30k, m = 1024 (the
+    remaining cost: 3 wide bf16x3 gemms + the Kmn build's elementwise
+    fwd+bwd). ``Lm`` must be Vm^{-1}; it only evaluates those identities,
+    so no cotangent flows to it (its gradient arrives through Vm).
+    """
+    out, _ = _vfe_wide_fwd(Vm, Kmn, ym, noise, Lm)
+    return out
+
+
+def _vfe_wide_fwd(Vm, Kmn, ym, noise, Lm):
+    m = Vm.shape[0]
+    # bf16x3 ("high") keeps ~f32 fidelity for these plain O(1)-scaled row
+    # products and is measurably faster than 6-pass "highest" (15.2 ->
+    # 11.8 ms/step). Distance expansions elsewhere MUST stay "highest"
+    # (see ops/gram.py) - these are not cancellation-prone.
+    A = jnp.dot(Vm, Kmn,
+                precision=jax.lax.Precision.HIGH) / jnp.sqrt(noise)
+    B = (jnp.eye(m, dtype=A.dtype)
+         + jnp.dot(A, A.T, precision=jax.lax.Precision.HIGH))
+    a = jnp.dot(A, ym, precision=jax.lax.Precision.HIGH)
+    t = jnp.sum(A * A)
+    return (B, a, t), (A, B, a, noise, Lm, ym)
+
+
+def _vfe_wide_bwd(res, cots):
+    A, B, a, noise, Lm, ym = res
+    dB, da, dt = cots
+    m = A.shape[0]
+    root_n = jnp.sqrt(noise)
+    # dA = (dB + dB^T + 2 dt I) A + da ym^T =: S A + da ym^T
+    S = dB + dB.T + 2.0 * dt * jnp.eye(m, dtype=A.dtype)
+    BmI = B - jnp.eye(m, dtype=A.dtype)                  # = A A^T
+    # dKmn = Vm^T dA / sqrt(noise): Vm^T = Lm^{-T}, so fold S through the
+    # SAME whitened A - one wide gemm (M1 = Lm^{-T} S) plus a rank-1 term
+    # fused into the elementwise kernel backward
+    M1 = solve_triangular(Lm.T, S, lower=False)          # (m, m)
+    dKmn = (jnp.dot(M1, A, precision=jax.lax.Precision.HIGH)
+            + solve_triangular(Lm.T, da, lower=False)[:, None]
+            * ym[None, :]) / root_n
+    # dVm = dA Kmn^T / sqrt(noise), with A Kmn^T = sqrt(noise) (B-I) Lm^T
+    # and Kmn ym = sqrt(noise) Lm a - all m^3
+    dVm = (jnp.dot(S, jnp.dot(BmI, Lm.T))
+           + jnp.outer(da, jnp.dot(Lm, a)))
+    # dym = A^T da (wide matvec)
+    dym = jnp.dot(A.T, da, precision=jax.lax.Precision.HIGH)
+    # noise enters only through A's 1/sqrt(noise): d noise =
+    # -(1/(2 noise)) sum(dA * A), with sum(dA * A) = sum(S * (A A^T)) +
+    # da^T (A ym) - all m^2
+    dnoise = -(jnp.sum(S * BmI) + jnp.dot(da, a)) / (2.0 * noise)
+    # Lm is an evaluation shortcut for functions of (Vm, Kmn): zero cotangent
+    return dVm, dKmn, dym, dnoise, jnp.zeros_like(Lm)
+
+
+_vfe_wide.defvjp(_vfe_wide_fwd, _vfe_wide_bwd)
 
 
 # --------------------------------------------------------------------------

@@ -128,4 +128,6 @@ class KronEngine:
         mean, var = _predict(
             u_, axes, Y_, bounds, jitter, chunks_d,
             kernel=self.kernel)
-        return np.asarray(mean)[:n_test], np.asarray(var)[:n_test]
+        from gpim_tpu.utils.hostio import fetch_tree
+        mean, var = fetch_tree((mean, var))   # one writable fetch, not two
+        return mean[:n_test], var[:n_test]

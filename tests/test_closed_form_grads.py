@@ -107,3 +107,64 @@ def test_task_mll_fast_matches_autodiff():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-8, atol=1e-12, err_msg=k)
+
+
+def test_vfe_wide_core_matches_autodiff():
+    """engine._vfe_wide's closed-form backward (one wide gemm via the
+    A Kmn^T = sqrt(noise)(B-I)Lm^T identity) must equal autodiff of the
+    naive whitened formulation to f64 round-off - values AND all gradients
+    (Xu, lengthscale, variance, noise)."""
+    import math
+    from gpim_tpu.gpreg import engine
+    from gpim_tpu.kernels.functional import get_kernel_fn, kernel_diag
+    from gpim_tpu.kernels.transforms import positive_inverse
+    from gpim_tpu.ops.linalg import safe_cholesky
+    from gpim_tpu.ops.tri import tri_inverse
+    from jax.scipy.linalg import solve_triangular
+
+    dtype = jnp.float64
+    n, m, d = 150, 12, 2
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.rand(n, d) * 5, dtype)
+    y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.randn(n), dtype)
+    mask = jnp.asarray((rng.rand(n) < 0.9).astype(np.float64))
+    bounds = {"ls_lo": jnp.zeros((d,), dtype),
+              "ls_hi": jnp.full((d,), 5.0, dtype),
+              "var_lo": jnp.asarray(1e-4, dtype),
+              "var_hi": jnp.asarray(10.0, dtype)}
+    u = {"lengthscale": jnp.asarray(rng.randn(d) * 0.3, dtype),
+         "variance": jnp.asarray(0.2, dtype),
+         "noise": positive_inverse(jnp.asarray(0.3, dtype)),
+         "Xu": jnp.asarray(rng.rand(m, d) * 5, dtype)}
+    jitter = jnp.asarray(1e-8, dtype)
+
+    def naive(u):
+        kfn = get_kernel_fn("RBF")
+        p = engine.constrain(u, bounds)
+        Xu, noise = p["Xu"], p["noise"]
+        mm = Xu.shape[0]
+        Kmm = kfn(p, Xu, Xu) + jitter * jnp.eye(mm, dtype=dtype)
+        Kmn = kfn(p, Xu, X) * mask[None, :]
+        Lm = safe_cholesky(Kmm)
+        A = (tri_inverse(Lm) @ Kmn) / jnp.sqrt(noise)
+        B = jnp.eye(mm, dtype=dtype) + A @ A.T
+        LB = safe_cholesky(B)
+        ym = y * mask
+        c = solve_triangular(LB, A @ ym, lower=True) / jnp.sqrt(noise)
+        tr = jnp.sum(kernel_diag("RBF", p, X) * mask) / noise \
+            - jnp.sum(A * A)
+        nll = (0.5 * jnp.sum(mask) * (math.log(2 * math.pi)
+                                      + jnp.log(noise))
+               + jnp.sum(jnp.log(jnp.diagonal(LB)))
+               + 0.5 * jnp.dot(ym, ym) / noise
+               - 0.5 * jnp.dot(c, c) + 0.5 * tr)
+        return nll - engine._log_jacobian(u, bounds)
+
+    fast = lambda u: engine.vfe_loss(u, X, y, mask, bounds, jitter,
+                                     kernel="RBF")
+    v1, g1 = jax.value_and_grad(naive)(u)
+    v2, g2 = jax.value_and_grad(fast)(u)
+    assert abs(float(v1 - v2)) < 1e-10
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
