@@ -290,6 +290,57 @@ def _nll_fast_bwd(kernel, res, g):
 _nll_fast.defvjp(_nll_fast_fwd, _nll_fast_bwd)
 
 
+@jax.custom_vjp
+def mll_from_gram(K, noise, ym, mask, jitter):
+    """Masked exact NLL from a precomputed (unmasked) Gram matrix ``K``,
+    with the closed-form gradient backward.
+
+    The stationary-kernel families route through :func:`_nll_fast`, whose
+    backward also collapses dK -> dtheta analytically; kernels whose
+    dK/dtheta is plain elementwise (the spectral mixture: products of exp
+    and cos factors per dim) only need dNLL/dK = 0.5 (A^-1 - alpha alpha^T)
+    in closed form - autodiff then chains the elementwise kernel build for
+    free, and the Cholesky VJP (two n-rhs trsms + Phi products, measured
+    ~2.4x the forward, see the _nll_fast header) never runs.
+
+    Returns the NLL core (quadratic + masked logdet + n_eff/2 log 2pi);
+    ``ym`` must already be centered and masked. Only K, noise and ym
+    receive cotangents (mask and jitter are constants of the training
+    problem, same convention as _nll_fast).
+    """
+    nll, _ = _mll_from_gram_fwd(K, noise, ym, mask, jitter)
+    return nll
+
+
+def _mll_from_gram_fwd(K, noise, ym, mask, jitter):
+    A = _masked_system(K, noise, mask, jitter)
+    L = safe_cholesky(A)
+    V = tri_inverse(L)          # both solves as gemms (see _nll_fast_fwd)
+    z = V @ ym
+    n_eff = jnp.sum(mask)
+    nll = (0.5 * jnp.dot(z, z)
+           + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+           + 0.5 * n_eff * _LOG_2PI)
+    return nll, (V, z, mask, jitter)
+
+
+def _mll_from_gram_bwd(res, g):
+    V, z, mask, jitter = res
+    alpha = V.T @ z                                   # A^-1 ym
+    Ainv = jnp.dot(V.T, V, precision=jax.lax.Precision.HIGH)
+    mm = mask[:, None] * mask[None, :]
+    base = (0.5 * g) * (Ainv - alpha[:, None] * alpha[None, :])
+    dK = base * mm
+    dnoise = (0.5 * g) * (jnp.sum(jnp.diagonal(Ainv) * mask)
+                          - jnp.dot(alpha, alpha))
+    dym = g * alpha
+    return (dK, dnoise, dym, jnp.zeros_like(mask),
+            jnp.zeros_like(jnp.asarray(jitter)))
+
+
+mll_from_gram.defvjp(_mll_from_gram_fwd, _mll_from_gram_bwd)
+
+
 def vfe_loss(u, X, y, mask, bounds, jitter, *, kernel):
     """Masked Titsias VFE bound (negated) with trainable inducing points.
 

@@ -168,3 +168,42 @@ def test_vfe_wide_core_matches_autodiff():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_spectral_mll_from_gram_matches_autodiff():
+    """The spectral path's gram-level closed-form backward
+    (engine.mll_from_gram) must equal full autodiff through the Cholesky
+    to f64 round-off for every spectral parameter."""
+    import math
+    from gpim_tpu.gpreg import structured
+    from gpim_tpu.ops.linalg import safe_cholesky
+    from jax.scipy.linalg import solve_triangular
+
+    dtype = jnp.float64
+    n, d, Q = 150, 2, 3
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.rand(n, d) * 8, dtype)
+    y = jnp.asarray(np.sin(2 * np.asarray(X)[:, 0]) + 0.05 * rng.randn(n),
+                    dtype)
+    mask = jnp.asarray((rng.rand(n) < 0.9).astype(np.float64))
+    u = structured.init_spectral_params(
+        np.asarray(X), np.asarray(y), Q, 0, np.float64)
+    jitter = jnp.asarray(1e-8, dtype)
+
+    def naive(u):
+        p = structured._constrain_sm(u)
+        A = structured._sm_system(p, X, mask, jitter)
+        L = safe_cholesky(A)
+        ym = (y - p["mean"]) * mask
+        z = solve_triangular(L, ym, lower=True)
+        return (0.5 * jnp.dot(z, z)
+                + jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+                + 0.5 * jnp.sum(mask) * math.log(2 * math.pi))
+
+    fast = lambda u: structured._sm_loss(u, X, y, mask, jitter)
+    v1, g1 = jax.value_and_grad(naive)(u)
+    v2, g2 = jax.value_and_grad(fast)(u)
+    assert abs(float(v1 - v2)) < 1e-10
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
