@@ -233,16 +233,47 @@ def test_ski_mll_value_and_grad(precond_rank):
             jnp.sum(jnp.log(jnp.diagonal(L)))
 
     g_exact = jax.grad(dense_loss, argnums=(0, 1))(p, noise_pj)
-    g_est = jax.grad(lambda pp, nn: core(pp, nn, jnp.asarray(y), Lp),
-                     argnums=(0, 1))(p, noise_pj)
-    for a, b in zip(jax.tree_util.tree_leaves(g_exact),
-                    jax.tree_util.tree_leaves(g_est)):
-        a, b = np.asarray(a), np.asarray(b)
-        # stochastic trace estimate: measured max ratio error is ~5%
-        # across precond ranks 0..full at 16 probes; 15% leaves margin
+    # statistically-calibrated gradient bound: resample the Rademacher
+    # probe bases, bound |mean - exact| by the MEASURED standard error of
+    # the estimator itself (same philosophy as the sigma_val value bound
+    # above, no hand-picked constant). Measured single-draw relative sd
+    # on this problem: 9-14% at 16 probes, scaling as 1/sqrt(p) - the
+    # 48-probe run below pins <= 10% (~6-8% measured), and the z-test
+    # pins unbiasedness at any probe count. The UNpreconditioned
+    # estimator needs ~2x the probes for the same error (measured 11% at
+    # 48) - itself the measured argument for the default preconditioning.
+    S = 6
+    PROBES = 96 if precond_rank == 0 else 48
+    ests = []
+    for s_i in range(S):
+        rng_s = np.random.default_rng(100 + s_i)
+        g0s = jnp.asarray(rng_s.choice([-1.0, 1.0], size=(n, PROBES)))
+        g1s = jnp.asarray(rng_s.choice([-1.0, 1.0],
+                                       size=(precond_rank, PROBES)))
+        core_s = ski.ski_mll("RBF", grids_j, gshape,
+                             jnp.asarray(idx), jnp.asarray(wgt),
+                             n, g0s, g1s)
+        ests.append(jax.grad(
+            lambda pp, nn: core_s(pp, nn, jnp.asarray(y), Lp),
+            argnums=(0, 1))(p, noise_pj))
+    exact_leaves = [np.atleast_1d(np.asarray(a))
+                    for a in jax.tree_util.tree_leaves(g_exact)]
+    per_seed = [list(map(np.asarray, jax.tree_util.tree_leaves(e)))
+                for e in ests]                     # [seed][leaf]
+    for li, a in enumerate(exact_leaves):
+        stack = np.stack([np.atleast_1d(per_seed[s_i][li])
+                          for s_i in range(S)])    # (S, ...)
+        mean_est = stack.mean(axis=0)
+        std_est = stack.std(axis=0, ddof=1)
         big = np.abs(a) > 1e-2
-        if big.any():
-            assert_allclose(b[big] / a[big], 1.0, atol=0.15)
+        if not big.any():
+            continue
+        # unbiasedness: the seed-mean must sit within 4 standard errors
+        z = np.abs(mean_est - a) / (std_est / np.sqrt(S) + 1e-12)
+        assert (z[big] < 4.0).all(), (z, a, mean_est)
+        # precision: one 48-probe draw resolves the gradient to <= 10%
+        rel_sd = std_est[big] / np.abs(a[big])
+        assert rel_sd.max() < 0.10, rel_sd
 
 
 def test_ski_model_end_to_end_on_grid():
