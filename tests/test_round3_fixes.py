@@ -113,3 +113,37 @@ def test_predictive_sd_f32_small_noise_long_lengthscale():
     # or wildly inflated posterior sd even where cancellation is near-total
     assert np.max(np.abs(sd32 - sd64)) < 5e-3 * np.sqrt(var)
     assert (sd32 >= 0).all()
+
+
+@pytest.mark.parametrize("lattice", [True, False])
+def test_skreconstructor_update_data_retrains_warm(lattice):
+    """update_data must rebuild the structured engines for the new mask
+    and keep trained parameters, so retraining continues warm (the
+    reference raises on any structured retrain-on-new-data workflow)."""
+    X, Rn, Xf = _toy_2d(n=20, missing=80)
+    m = skreconstructor(X, Rn, Xf, iterations=3, verbose=0, ski=True,
+                        ski_min_points=1, lattice=lattice)
+    eng0 = m._mgrid_engine if lattice else m._ski_engine
+    assert eng0 is not None
+    m.train()
+    u_before = {k: np.asarray(v) for k, v in m.u.items()}
+
+    # reveal 20 more pixels and update
+    rng = np.random.RandomState(7)
+    R2 = Rn.copy()
+    nan_idx = np.flatnonzero(np.isnan(R2))
+    fill = rng.choice(nan_idx, 20, replace=False)
+    R2.ravel()[fill] = 0.5
+    from gpim_tpu import utils
+    m.update_data(utils.get_sparse_grid(R2), R2)
+    eng1 = m._mgrid_engine if lattice else m._ski_engine
+    assert eng1 is not None and eng1 is not eng0   # rebuilt for new mask
+    for k in u_before:                              # params kept (warm)
+        np.testing.assert_array_equal(np.asarray(m.u[k]), u_before[k])
+    m.train()
+    mean, sd = m.predict(verbose=0)
+    assert np.isfinite(mean).all() and np.isfinite(sd).all()
+    # more data observed -> the new engine must see the larger mask
+    n_obs0 = int((~np.isnan(Rn)).sum())
+    n_obs1 = int((~np.isnan(R2)).sum())
+    assert n_obs1 == n_obs0 + 20
