@@ -30,21 +30,19 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "examples"))
 
 # reference-equivalent torch CPU float64 measurement (benchmarks/torch_baseline.py)
 BASELINE_SECONDS = 3547.0
 
-DATA = "/root/reference/expdata/spiral_s_00010_2019.npy"
-
 
 def load_spiral():
-    img = np.load(DATA)
-    vals, counts = np.unique(img, return_counts=True)
-    R = img.copy()
-    R[R == vals[np.argmax(counts)]] = np.nan
-    R = (R - np.nanmin(R)) / (np.nanmax(R) - np.nanmin(R))
-    return R
+    # bundled spiral scan when present, synthetic stand-in otherwise
+    # (examples/_data.py resolution: $GPIM_TPU_EXPDATA > reference mirror)
+    import _data
+    return _data.spiral_scan()
 
 
 def run_once(R, X, X_true, iterations=250):

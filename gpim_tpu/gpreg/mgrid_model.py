@@ -117,7 +117,7 @@ def cartesian_axes_from_points(X_flat, dims, rtol=1e-6):
 # jitted programs (module-level: shared compilation across instances)
 # --------------------------------------------------------------------------
 
-def _loss(u, axes, mask_flat, g0, g1, Lp, y_flat, bounds, jitter, *,
+def _loss(u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter, *,
           kernel, grid_shape, cg_iters):
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape, mask_flat)
     core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, g1)
@@ -129,7 +129,7 @@ def _loss(u, axes, mask_flat, g0, g1, Lp, y_flat, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     # identical objective to ski_model._loss with n_pad = G: masked grid
     # cells are exact noise*I rows of A, subtracted from the logdet
-    return (core(kp, noise_pj, yc, Lp)
+    return (core(kp, noise_pj, yc, Lp, LtL)
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (G - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
@@ -138,18 +138,23 @@ def _loss(u, axes, mask_flat, g0, g1, Lp, y_flat, bounds, jitter, *,
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
 def _build_precond(u, axes, mask_flat, bounds, *, kernel, grid_shape, rank):
+    """Returns (Lp, Lp^T Lp): the root and its noise-independent Woodbury
+    core, both fixed for a whole training segment (see
+    ski.make_preconditioner on why LtL is precomputed here)."""
     if rank == 0:
-        return jnp.zeros((mask_flat.shape[0], 0), mask_flat.dtype)
+        Lp = jnp.zeros((mask_flat.shape[0], 0), mask_flat.dtype)
+        return Lp, Lp.T @ Lp
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     lam_top, Us, mdim = ski._kron_top_modes(kernel, kp, list(axes), rank)
     sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
-    return ski.grid_kr_rows(sel, lam_top, mask_flat)
+    Lp = ski.grid_kr_rows(sel, lam_top, mask_flat)
+    return Lp, Lp.T @ Lp
 
 
 @partial(jax.jit, static_argnames=(
     "kernel", "grid_shape", "cg_iters", "iterations"))
-def _train_seg(u0, opt_state, Lp, axes, mask_flat, g0, g1, y_flat,
+def _train_seg(u0, opt_state, Lp, LtL, axes, mask_flat, g0, g1, y_flat,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
                iterations):
     opt = optax.adam(learning_rate=lr)
@@ -159,7 +164,7 @@ def _train_seg(u0, opt_state, Lp, axes, mask_flat, g0, g1, y_flat,
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(lf)(
-            u, axes, mask_flat, g0, g1, Lp, y_flat, bounds, jitter)
+            u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
@@ -296,12 +301,12 @@ class MaskedGridEngine:
         remaining = int(iterations)
         while remaining > 0:
             s = min(self.segment, remaining)
-            Lp = _build_precond(
+            Lp, LtL = _build_precond(
                 u, self._axes, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 rank=self.precond_rank)
             u, opt_state, traj = _train_seg(
-                u, opt_state, Lp, self._axes, self._mask,
+                u, opt_state, Lp, LtL, self._axes, self._mask,
                 self._g0, self._g1, self._y, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s)

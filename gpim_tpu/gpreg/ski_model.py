@@ -39,7 +39,7 @@ _LOG_2PI = float(np.log(2.0 * np.pi))
 from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
-def _loss(u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter, *,
+def _loss(u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter, *,
           kernel, grid_shape, cg_iters):
     core = ski.ski_mll(kernel, list(grids), grid_shape, idx, wgt,
                        cg_iters, g0, g1)
@@ -51,7 +51,7 @@ def _loss(u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     # the interval-transform log-Jacobian MAP term keeps the objective
     # identical to the dense path's (multi._iv_loss)
-    return (core(kp, noise_pj, yc, Lp)
+    return (core(kp, noise_pj, yc, Lp, LtL)
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
@@ -61,18 +61,22 @@ def _loss(u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter, *,
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
 def _build_precond(u, grids, i0, w0, mask_, bounds, *,
                    kernel, grid_shape, rank):
-    """Preconditioner root at the current hyperparameters (value-only)."""
+    """Preconditioner root at the current hyperparameters (value-only).
+    Returns (Lp, Lp^T Lp): the noise-independent Woodbury core is computed
+    once per segment (see ski.make_preconditioner)."""
     if rank == 0:
-        return jnp.zeros((i0.shape[0], 0), w0.dtype)
+        Lp = jnp.zeros((i0.shape[0], 0), w0.dtype)
+        return Lp, Lp.T @ Lp
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
-    return ski.kron_eig_root(kernel, kp, list(grids), grid_shape,
-                             i0, w0, rank, mask=mask_)
+    Lp = ski.kron_eig_root(kernel, kp, list(grids), grid_shape,
+                           i0, w0, rank, mask=mask_)
+    return Lp, Lp.T @ Lp
 
 
 @partial(jax.jit, static_argnames=(
     "kernel", "grid_shape", "cg_iters", "iterations"))
-def _train_seg(u0, opt_state, Lp, grids, idx, wgt, g0, g1, y, mask_,
+def _train_seg(u0, opt_state, Lp, LtL, grids, idx, wgt, g0, g1, y, mask_,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
                iterations):
     opt = optax.adam(learning_rate=lr)
@@ -82,7 +86,7 @@ def _train_seg(u0, opt_state, Lp, grids, idx, wgt, g0, g1, y, mask_,
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(lf)(
-            u, grids, idx, wgt, Lp, g0, g1, y, mask_, bounds, jitter)
+            u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
@@ -167,12 +171,12 @@ class SKIEngine:
         remaining = int(iterations)
         while remaining > 0:
             s = min(self.segment, remaining)
-            Lp = _build_precond(
+            Lp, LtL = _build_precond(
                 u, self._grids, self._i0, self._w0, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 rank=self.precond_rank)
             u, opt_state, traj = _train_seg(
-                u, opt_state, Lp, self._grids, self._idx, self._wgt,
+                u, opt_state, Lp, LtL, self._grids, self._idx, self._wgt,
                 self._g0, self._g1, y, mask_, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s)

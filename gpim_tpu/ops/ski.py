@@ -293,13 +293,22 @@ def _kron_top_modes(kernel, p, grids, rank):
     return lam_top, Us, mdim
 
 
-def make_preconditioner(L, noise_pj):
+def make_preconditioner(L, noise_pj, LtL=None):
     """Woodbury apply + exact logdet of P = noise I + L L^T.
 
     Returns (apply(v) for (n,) or (n, b), logdet P).
+
+    ``LtL`` optionally supplies a precomputed L^T L: it depends only on L,
+    not on the noise, so training loops that hold L fixed for a whole
+    segment (ski_model / mgrid_model) compute it ONCE per segment instead
+    of paying the (n, r, r) gemm on every loss evaluation (~30% of a
+    trained-phase mgrid step at G = 131k; measured in
+    benchmarks/ski_roofline.py).
     """
     n, k = L.shape
-    C = noise_pj * jnp.eye(k, dtype=L.dtype) + L.T @ L
+    if LtL is None:
+        LtL = L.T @ L
+    C = noise_pj * jnp.eye(k, dtype=L.dtype) + LtL
     LC = safe_cholesky(C)
 
     def apply(v):
@@ -316,7 +325,7 @@ def make_preconditioner(L, noise_pj):
     return apply, logdet
 
 
-def batched_pcg(mvm, pinv, B, iters):
+def batched_pcg(mvm, pinv, B, iters, return_iters=False):
     """Preconditioned conjugate gradients for A X = B, all columns at once.
 
     Same frozen-column contract as :func:`batched_cg`; the recovered
@@ -324,6 +333,12 @@ def batched_pcg(mvm, pinv, B, iters):
     operator P^-1/2 A P^-1/2 started from P^-1/2 b_j / |.|, which is what
     preconditioned SLQ needs (logdet A = logdet P + SLQ estimate when the
     probes are drawn from N(0, P)).
+
+    With ``return_iters=True`` a fourth output is appended: the REALIZED
+    iteration count (the while_loop trip count, i.e. iterations until the
+    last column converged or the ``iters`` cap) - instrumentation for tying
+    the ``cg_iters`` budget to measured convergence (benchmarks/
+    ski_roofline.py).
     """
     X0 = jnp.zeros_like(B)
     R0 = B
@@ -383,6 +398,8 @@ def batched_pcg(mvm, pinv, B, iters):
             jnp.zeros(rz0.shape, bool), Td0, To0)
     out = jax.lax.while_loop(cond, body, init)
     X, t_diags, t_offs = out[1], out[9], out[10]
+    if return_iters:
+        return X, t_diags, t_offs, out[0]
     return X, t_diags, t_offs
 
 
@@ -464,12 +481,12 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
     same estimator contract as documented on ski_mll)."""
 
     @partial(jax.custom_vjp, nondiff_argnums=())
-    def core(p, noise_pj, yc, Lp):
-        out, _ = _fwd(p, noise_pj, yc, Lp)
+    def core(p, noise_pj, yc, Lp, LtL=None):
+        out, _ = _fwd(p, noise_pj, yc, Lp, LtL)
         return out
 
-    def _fwd(p, noise_pj, yc, Lp):
-        pinv, logdetP = make_preconditioner(Lp, noise_pj)
+    def _fwd(p, noise_pj, yc, Lp, LtL=None):
+        pinv, logdetP = make_preconditioner(Lp, noise_pj, LtL)
         z = jnp.sqrt(noise_pj) * g0
         if Lp.shape[1] > 0:
             # kron_eig_root may round the rank down (grid/chunk limits);
@@ -493,10 +510,10 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
         logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
         quad = 0.5 * jnp.dot(yc, alpha)
         out = quad + 0.5 * logdet
-        return out, (p, noise_pj, alpha, solves, w, Lp)
+        return out, (p, noise_pj, alpha, solves, w, Lp, LtL)
 
     def _bwd(res, g):
-        p, noise_pj, alpha, solves, w, Lp = res
+        p, noise_pj, alpha, solves, w, Lp, LtL = res
         n_probes = solves.shape[1]
 
         def surrogate(p_, noise_pj_):
@@ -511,7 +528,8 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
 
         gp, gn = jax.grad(surrogate, argnums=(0, 1))(p, noise_pj)
         gp = jax.tree_util.tree_map(lambda x: g * x, gp)
-        return gp, g * gn, g * alpha, jnp.zeros_like(Lp)
+        return (gp, g * gn, g * alpha, jnp.zeros_like(Lp),
+                None if LtL is None else jnp.zeros_like(LtL))
 
     core.defvjp(_fwd, _bwd)
     return core
