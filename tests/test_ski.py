@@ -568,3 +568,59 @@ def test_masked_grid_engine_training_converges():
     assert np.isfinite(traj["loss"]).all()
     ls = np.asarray(traj["lengthscale"][-1])
     assert (ls > 0.5).all() and (ls < 10.0).all()
+
+
+def test_batched_pcg_return_iters_and_hoisted_core():
+    """batched_pcg(return_iters=True) reports the while_loop trip count
+    (below the cap when every column converges early), and passing the
+    precomputed L^T L into make_preconditioner / the MLL core is exactly
+    equivalent to the internal product (the round-3 per-segment hoist)."""
+    X, grids, idx, wgt, p = _setup(n=50)
+    n = X.shape[0]
+    noise_pj = jnp.asarray(0.4)
+    A = _dense_operator("RBF", p, grids, idx, wgt, float(noise_pj))
+    factors = ski.grid_kernel_factors(
+        "RBF", p, [jnp.asarray(g) for g in grids])
+    mvm = lambda v: ski.ski_mvm(
+        factors, jnp.asarray(idx), jnp.asarray(wgt), noise_pj,
+        tuple(len(g) for g in grids), v)
+
+    i0, w0 = ski.build_interp_sep(X, grids)
+    gshape = tuple(len(g) for g in grids)
+    Lp = ski.kron_eig_root("RBF", p, [jnp.asarray(g) for g in grids],
+                           gshape, jnp.asarray(i0), jnp.asarray(w0), 16)
+    LtL = Lp.T @ Lp
+    pinv, _ = ski.make_preconditioner(Lp, noise_pj)
+    pinv2, _ = ski.make_preconditioner(Lp, noise_pj, LtL)
+    B = jnp.asarray(np.random.RandomState(2).rand(n, 3))
+    assert_allclose(np.asarray(pinv2(B)), np.asarray(pinv(B)),
+                    rtol=0, atol=0)
+
+    Xs, _, _, k = ski.batched_pcg(mvm, pinv, B, n, return_iters=True)
+    k = int(k)
+    assert 0 < k < n            # preconditioned solve converges early
+    assert_allclose(np.asarray(Xs), np.linalg.solve(A, np.asarray(B)),
+                    rtol=1e-5, atol=1e-7)
+    # the 3-tuple contract is unchanged
+    Xs2, td, to = ski.batched_pcg(mvm, pinv, B, n)
+    assert_allclose(np.asarray(Xs2), np.asarray(Xs), rtol=0, atol=0)
+
+    rng = np.random.default_rng(1)
+    g0 = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, 4)))
+    g1 = jnp.asarray(rng.choice([-1.0, 1.0], size=(16, 4)))
+    core = ski.ski_mll("RBF", [jnp.asarray(g) for g in grids], gshape,
+                       jnp.asarray(idx), jnp.asarray(wgt), n, g0, g1)
+    y = jnp.asarray(np.random.RandomState(3).rand(n))
+
+    def loss_plain(p_, noise_):
+        return core(p_, noise_, y, Lp)
+
+    def loss_hoisted(p_, noise_):
+        return core(p_, noise_, y, Lp, LtL)
+
+    v1, gr1 = jax.value_and_grad(loss_plain, argnums=(0, 1))(p, noise_pj)
+    v2, gr2 = jax.value_and_grad(loss_hoisted, argnums=(0, 1))(p, noise_pj)
+    assert_allclose(float(v1), float(v2), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(gr1),
+                    jax.tree_util.tree_leaves(gr2)):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
