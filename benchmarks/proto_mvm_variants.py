@@ -1,0 +1,205 @@
+"""Prototype: off-lattice SKI mvm scatter/gather variants on TPU.
+
+The roofline (benchmarks/ski_roofline.py) shows the off-lattice operator
+mvm at ~7.0 ms/block vs 0.67 ms for the masked-grid engine: the gap is
+the (n*2^d, b) scatter-add + gather of interpolation corners. Candidate
+fixes measured here, all exploiting one structural fact: sorting the
+POINTS by their lower-corner flat index makes EVERY corner column
+idx[:, s] sorted at once (corner s = lower corner + a constant offset),
+which unlocks sorted-scatter lowerings and cumsum-based segment sums
+with fully static boundary metadata.
+
+Methodology note (this bit burned a previous run): a single dispatch
+through the axon tunnel has a ~25 ms RPC floor, so timing one jitted mvm
+call per loop iteration drowns a 7 ms kernel in launch overhead. Here
+each variant is timed as a CHAIN of `iters` dependent applications
+inside ONE jitted program (v <- normalize(mvm(v))), with all large
+arrays passed as arguments (closure-captured device arrays become HLO
+constants and can miscount).
+
+Throwaway measurement script; kept for provenance of the numbers in
+benchmarks/BASELINE_MEASURED.md.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import jax
+import jax.numpy as jnp
+
+from gpim_tpu import utils, skreconstructor
+from gpim_tpu.ops import ski
+
+CHAIN = 50
+
+
+def chain_time(fn, *args, reps=5):
+    """Median wall time of one jitted program that applies `fn` CHAIN
+    times with a data dependency between applications."""
+
+    @jax.jit
+    def prog(v, *rest):
+        def body(_, vv):
+            out = fn(vv, *rest)
+            return out / jnp.maximum(jnp.max(jnp.abs(out)), 1e-30)
+        return jax.lax.fori_loop(0, CHAIN, body, v)
+
+    out = prog(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(prog(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) / CHAIN
+
+
+def build():
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(2)
+    shape = (64, 64, 32)
+    f = gaussian_filter(rng.randn(*shape), sigma=(4, 4, 2))
+    f = (f - f.min()) / (f.max() - f.min())
+    R = f + 0.02 * rng.randn(*shape)
+    sites = rng.choice(shape[0] * shape[1],
+                       int(0.7 * shape[0] * shape[1]), replace=False)
+    R.reshape(-1, shape[2])[sites] = np.nan
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    m = skreconstructor(X, R, Xf, kernel="RBF", ski=True, lattice=False,
+                        learning_rate=0.1, iterations=0, verbose=0)
+    m.run()
+    return m._ski_engine
+
+
+def main():
+    eng = build()
+    idx = np.asarray(eng._idx)          # (n, S) int32
+    wgt = np.asarray(eng._wgt)          # (n, S)
+    gshape = eng.grid_shape
+    G = int(np.prod(gshape))
+    n, S = idx.shape
+    b = 9
+    print(f"n={n} S={S} G={G} gshape={gshape}", flush=True)
+
+    grids = [jnp.asarray(g) for g in eng.grids_np]
+    p = {"lengthscale": jnp.asarray([2.0, 2.0, 2.0]),
+         "variance": jnp.asarray(1.0)}
+    factors = ski.grid_kernel_factors("RBF", p, grids)
+    factors = [jnp.asarray(f, jnp.float32) for f in factors]
+    noise = jnp.asarray(0.11)
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(n, b).astype(np.float32))
+
+    wgt = wgt.astype(np.float32)
+    idx_j = jnp.asarray(idx)
+    wgt_j = jnp.asarray(wgt)
+
+    def report(tag, ms, ref, out):
+        err = float(np.max(np.abs(np.asarray(out) - ref))
+                    / np.max(np.abs(ref)))
+        print(f"{tag:22s}: {ms * 1e3:7.3f} ms  relerr {err:.2e}",
+              flush=True)
+
+    # v0: current implementation (flat unsorted scatter)
+    def mvm_v0(vv, idx_, wgt_, *fs):
+        return ski.ski_mvm(list(fs), idx_, wgt_, noise, gshape, vv)
+    t0 = chain_time(mvm_v0, v, idx_j, wgt_j, *factors)
+    r0 = np.asarray(mvm_v0(v, idx_j, wgt_j, *factors))
+    print(f"{'v0 current':22s}: {t0 * 1e3:7.3f} ms", flush=True)
+
+    # ---- sorted-by-lower-corner world --------------------------------
+    perm = np.argsort(idx[:, 0], kind="stable")
+    idx_s = idx[perm]
+    wgt_s = wgt[perm]
+    v_s = jnp.asarray(np.asarray(v)[perm])
+    idx_sj = jnp.asarray(idx_s)
+    wgt_sj = jnp.asarray(wgt_s)
+    r0s = np.asarray(r0)[perm]
+
+    # v1: per-corner scatter/gather with sorted-index hints
+    def mvm_v1(vv, idx_, wgt_, *fs):
+        contrib = wgt_[:, :, None] * vv[:, None, :]
+        u = jnp.zeros((G, b), vv.dtype)
+        for s in range(S):
+            u = u.at[idx_[:, s]].add(
+                contrib[:, s, :], indices_are_sorted=True,
+                mode="promise_in_bounds")
+        t = ski.kron_mvm(list(fs), u.reshape(gshape + (b,))).reshape(G, b)
+        out = jnp.zeros_like(vv)
+        for s in range(S):
+            out = out + wgt_[:, s, None] * t.at[idx_[:, s]].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+        return out + noise * vv
+    t1 = chain_time(mvm_v1, v_s, idx_sj, wgt_sj, *factors)
+    report("v1 sorted hints", t1, r0s, mvm_v1(v_s, idx_sj, wgt_sj,
+                                              *factors))
+
+    # v2: cumsum segment-sum with static boundaries, per corner
+    uniq, first = np.unique(idx_s[:, 0], return_index=True)
+    last = np.r_[first[1:], n] - 1
+    uniq_j = jnp.asarray(uniq.astype(np.int32))
+    last_j = jnp.asarray(last.astype(np.int32))
+    offs = idx_s[0, :] - idx_s[0, 0]
+    assert (idx_s - idx_s[:, :1] == offs[None, :]).all()
+
+    def mvm_v2(vv, idx_, wgt_, uniq_, last_, *fs):
+        u = jnp.zeros((G, b), vv.dtype)
+        for s in range(S):
+            c = jnp.cumsum(wgt_[:, s, None] * vv, axis=0)
+            sums = c.at[last_].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+            sums = jnp.diff(sums, axis=0,
+                            prepend=jnp.zeros((1, b), vv.dtype))
+            u = u.at[uniq_ + offs[s]].add(
+                sums, indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+        t = ski.kron_mvm(list(fs), u.reshape(gshape + (b,))).reshape(G, b)
+        out = jnp.zeros_like(vv)
+        for s in range(S):
+            out = out + wgt_[:, s, None] * t.at[idx_[:, s]].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+        return out + noise * vv
+    t2 = chain_time(mvm_v2, v_s, idx_sj, wgt_sj, uniq_j, last_j, *factors)
+    report("v2 cumsum-seg", t2, r0s,
+           mvm_v2(v_s, idx_sj, wgt_sj, uniq_j, last_j, *factors))
+
+    # v5: v2 scatter side + unique-row gather distributed by inverse map
+    inv = np.searchsorted(uniq, idx_s[:, 0]).astype(np.int32)
+    inv_j = jnp.asarray(inv)
+
+    def mvm_v5(vv, idx_, wgt_, uniq_, last_, inv_, *fs):
+        u = jnp.zeros((G, b), vv.dtype)
+        for s in range(S):
+            c = jnp.cumsum(wgt_[:, s, None] * vv, axis=0)
+            sums = c.at[last_].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+            sums = jnp.diff(sums, axis=0,
+                            prepend=jnp.zeros((1, b), vv.dtype))
+            u = u.at[uniq_ + offs[s]].add(
+                sums, indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+        t = ski.kron_mvm(list(fs), u.reshape(gshape + (b,))).reshape(G, b)
+        out = jnp.zeros_like(vv)
+        for s in range(S):
+            rows = t.at[uniq_ + offs[s]].get(
+                indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+            out = out + wgt_[:, s, None] * rows.at[inv_].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+        return out + noise * vv
+    t5 = chain_time(mvm_v5, v_s, idx_sj, wgt_sj, uniq_j, last_j, inv_j,
+                    *factors)
+    report("v5 cumsum+uniqgather", t5, r0s,
+           mvm_v5(v_s, idx_sj, wgt_sj, uniq_j, last_j, inv_j, *factors))
+
+
+if __name__ == "__main__":
+    main()

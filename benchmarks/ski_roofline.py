@@ -96,7 +96,8 @@ def _solve_probe(u, Lp, arrs, y, mask_, g0, g1, bounds, jitter, *,
                                        mask_)
     else:
         grids, idx, wgt = arrs
-        raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt)
+        raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt,
+                            sorted_corners=True)
     mvm = lambda v: raw(kp, noise_pj, v)
     pinv, _ = ski.make_preconditioner(Lp, noise_pj)
     z = jnp.sqrt(noise_pj) * g0 + Lp @ g1[:Lp.shape[1]]
@@ -119,7 +120,8 @@ def _mvm_probe(u, arrs, mask_, B, bounds, jitter, *,
                                        mask_)
     else:
         grids, idx, wgt = arrs
-        raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt)
+        raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt,
+                            sorted_corners=True)
     return raw(kp, noise_pj, B)
 
 
@@ -246,10 +248,12 @@ def run_offlattice():
     bounds = m._bounds()
     jit_ = jnp.asarray(m.jitter, m.dtype)
     lr = jnp.asarray(0.1, m.dtype)
-    y, mask_ = m._yd, m._maskd
+    # the engine holds its points sorted by lower corner; mirror it
+    y, mask_ = m._yd[eng._permj], m._maskd[eng._permj]
 
     lossf = partial(ski_model._loss, kernel=eng.kernel,
-                    grid_shape=eng.grid_shape, cg_iters=eng.cg_iters)
+                    grid_shape=eng.grid_shape, cg_iters=eng.cg_iters,
+                    sorted_corners=True)
 
     def loss_args_of(u_, Lp, LtL):
         return (u_, eng._grids, eng._idx, eng._wgt, Lp, LtL, eng._g0,

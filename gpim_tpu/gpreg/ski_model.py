@@ -40,9 +40,9 @@ from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
 def _loss(u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter, *,
-          kernel, grid_shape, cg_iters):
+          kernel, grid_shape, cg_iters, sorted_corners=False):
     core = ski.ski_mll(kernel, list(grids), grid_shape, idx, wgt,
-                       cg_iters, g0, g1)
+                       cg_iters, g0, g1, sorted_corners=sorted_corners)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -75,13 +75,13 @@ def _build_precond(u, grids, i0, w0, mask_, bounds, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "grid_shape", "cg_iters", "iterations"))
+    "kernel", "grid_shape", "cg_iters", "iterations", "sorted_corners"))
 def _train_seg(u0, opt_state, Lp, LtL, grids, idx, wgt, g0, g1, y, mask_,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
-               iterations):
+               iterations, sorted_corners=False):
     opt = optax.adam(learning_rate=lr)
     lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
-                 cg_iters=cg_iters)
+                 cg_iters=cg_iters, sorted_corners=sorted_corners)
 
     def step(carry, _):
         u, opt_state = carry
@@ -100,13 +100,15 @@ def _train_seg(u0, opt_state, Lp, LtL, grids, idx, wgt, g0, g1, y, mask_,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
-                                   "rank", "precond_rank", "mesh"))
+                                   "rank", "precond_rank", "mesh",
+                                   "sorted_corners"))
 def _predict(u, grids, idx, wgt, i0, w0, y, mask_, bounds, jitter,
              test_idx, test_wgt, t_i0, t_w0, key, *, kernel, grid_shape,
-             cg_iters, rank, precond_rank, mesh=None):
+             cg_iters, rank, precond_rank, mesh=None, sorted_corners=False):
     predictor = ski.make_ski_predictor(
         kernel, list(grids), grid_shape, idx, wgt, i0, w0, mask_,
-        cg_iters, rank, precond_rank=precond_rank, mesh=mesh)
+        cg_iters, rank, precond_rank=precond_rank, mesh=mesh,
+        sorted_corners=sorted_corners)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -133,11 +135,21 @@ class SKIEngine:
         self.dtype = X_pad.dtype
         idx, wgt = ski.build_interp(X_pad, grids, mask)
         i0, w0 = ski.build_interp_sep(X_pad, grids)
-        self._idx = jnp.asarray(idx)
-        self._wgt = jnp.asarray(wgt)
-        self._i0 = jnp.asarray(i0)
-        self._w0 = jnp.asarray(w0)
-        self._mask = jnp.asarray(np.asarray(mask, X_pad.dtype))
+        # Sort points by lower-corner flat index: every corner column
+        # idx[:, s] becomes sorted at once (corner s = lower corner + a
+        # constant stride offset), which halves the operator mvm on TPU
+        # via sorted-scatter lowerings (see ski.ski_mvm sorted_corners).
+        # The permutation is internal: train/predict permute y and mask
+        # at entry, and all outputs (loss, trajectories, test-point
+        # predictions) are order-invariant.
+        perm = np.argsort(idx[:, 0], kind="stable")
+        self._perm = perm
+        self._permj = jnp.asarray(perm.astype(np.int32))
+        self._idx = jnp.asarray(idx[perm])
+        self._wgt = jnp.asarray(wgt[perm])
+        self._i0 = jnp.asarray(i0[perm])
+        self._w0 = jnp.asarray(w0[perm])
+        self._mask = jnp.asarray(np.asarray(mask, X_pad.dtype)[perm])
         self._grids = tuple(jnp.asarray(g) for g in grids)
         self.cg_iters = int(min(cg_iters, X_pad.shape[0]))
         self.rank = int(min(rank, X_pad.shape[0]))
@@ -159,6 +171,8 @@ class SKIEngine:
         """Segmented Adam optimization (see module docstring). Returns
         (final params, full concatenated trajectory)."""
         u = u0
+        y = jnp.asarray(y)[self._permj]
+        mask_ = jnp.asarray(mask_)[self._permj]
         if int(iterations) <= 0:
             # predict-only flows may train for 0 iterations; the trajectory
             # contract is zero-length series, not a crash
@@ -179,7 +193,8 @@ class SKIEngine:
                 u, opt_state, Lp, LtL, self._grids, self._idx, self._wgt,
                 self._g0, self._g1, y, mask_, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
-                cg_iters=self.cg_iters, iterations=s)
+                cg_iters=self.cg_iters, iterations=s,
+                sorted_corners=True)
             trajs.append(traj)
             remaining -= s
         full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])
@@ -194,6 +209,8 @@ class SKIEngine:
         Xt = np.asarray(Xtest_clean, self.dtype)
         t_idx, t_wgt = ski.build_interp(Xt, self.grids_np)
         t_i0, t_w0 = ski.build_interp_sep(Xt, self.grids_np)
+        y = jnp.asarray(y)[self._permj]
+        mask = jnp.asarray(mask)[self._permj]
         return _predict(
             u, self._grids, self._idx, self._wgt, self._i0, self._w0,
             y, mask, bounds, jitter,
@@ -201,4 +218,5 @@ class SKIEngine:
             jnp.asarray(t_i0), jnp.asarray(t_w0), self._key,
             kernel=self.kernel, grid_shape=self.grid_shape,
             cg_iters=self.cg_iters, rank=self.rank,
-            precond_rank=self.precond_rank, mesh=mesh)
+            precond_rank=self.precond_rank, mesh=mesh,
+            sorted_corners=True)

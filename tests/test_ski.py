@@ -57,6 +57,75 @@ def test_ski_mvm_matches_dense(d):
     assert_allclose(np.asarray(out), A @ v, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_ski_mvm_sorted_corners_matches_dense(d):
+    """The sorted-scatter fast path (points pre-sorted by lower-corner flat
+    index, indices_are_sorted promises) must agree with the dense operator.
+    Also checks the structural fact the promise rests on: sorting by
+    idx[:, 0] sorts EVERY corner column (constant per-corner offsets)."""
+    X, grids, idx, wgt, p = _setup(d=d)
+    n = X.shape[0]
+    noise_pj = 0.3
+    A = _dense_operator("RBF", p, grids, idx, wgt, noise_pj)
+    perm = np.argsort(idx[:, 0], kind="stable")
+    idx_s, wgt_s = idx[perm], wgt[perm]
+    assert (np.diff(idx_s, axis=0) >= 0).all()   # all columns sorted
+    factors = ski.grid_kernel_factors(
+        "RBF", p, [jnp.asarray(g) for g in grids])
+    v = np.random.RandomState(1).rand(n, 3)
+    out = ski.ski_mvm(factors, jnp.asarray(idx_s), jnp.asarray(wgt_s),
+                      noise_pj, tuple(len(g) for g in grids),
+                      jnp.asarray(v[perm]), sorted_corners=True)
+    assert_allclose(np.asarray(out), (A @ v)[perm], rtol=1e-6, atol=1e-8)
+
+
+def test_ski_engine_sorted_internally():
+    """SKIEngine sorts its points by lower-corner flat index at build time
+    (the promise behind its sorted-scatter mvm) and hides the permutation:
+    train trajectories and predictions are invariant to the order the
+    caller supplies the points in."""
+    from gpim_tpu.gpreg.ski_model import SKIEngine
+
+    rng = np.random.RandomState(3)
+    n, d = 96, 2
+    X = rng.rand(n, d).astype(np.float32) * 5
+    yv = np.sin(X[:, 0]) * np.cos(X[:, 1]) + 0.05 * rng.randn(n)
+    yv = yv.astype(np.float32)
+    mask = np.ones(n, np.float32)
+    grids = ski.choose_grid(X, ratio=2.0)
+
+    u = {"lengthscale": jnp.zeros((d,), jnp.float32),
+         "noise": jnp.asarray(0.0, jnp.float32),
+         "mean": jnp.asarray(0.0, jnp.float32),
+         "outputscale": jnp.asarray(0.0, jnp.float32)}
+    bounds = {"ls_lo": jnp.asarray(0.05, jnp.float32),
+              "ls_hi": jnp.asarray(10.0, jnp.float32)}
+    jit_ = jnp.asarray(1e-6, jnp.float32)
+
+    def run(Xo, yo):
+        eng = SKIEngine("RBF", Xo, mask, grids, cg_iters=96,
+                        precond_rank=32, seed=0)
+        assert (np.diff(np.asarray(eng._idx), axis=0) >= 0).all()
+        # prediction is deterministic (converged PCG mean + Nystrom
+        # variance), so it must be order-invariant up to solver tolerance
+        mean, var = eng.predict(u, jnp.asarray(yo), jnp.asarray(mask),
+                                bounds, jit_, X[:8])
+        return eng, np.asarray(mean), np.asarray(var)
+
+    eng, m1, v1 = run(X, yv)
+    sh = np.random.RandomState(7).permutation(n)
+    _, m2, v2 = run(X[sh], yv[sh])
+    assert_allclose(m1, m2, rtol=1e-4, atol=1e-5)
+    assert_allclose(v1, v2, rtol=1e-3, atol=1e-5)
+
+    # training through the sorted-scatter loss stays finite and improves
+    u2, traj = eng.train(u, jnp.asarray(yv), jnp.asarray(mask), bounds,
+                         jnp.asarray(0.05, jnp.float32), jit_,
+                         iterations=6)
+    assert np.isfinite(traj["loss"]).all()
+    assert traj["loss"][-1] < traj["loss"][0]
+
+
 def test_batched_cg_solves():
     X, grids, idx, wgt, p = _setup()
     n = X.shape[0]
