@@ -9,14 +9,17 @@ lattice-aligned, so it runs the masked-grid Kronecker engine
 off-lattice interpolation engine (gpreg/ski_model.py). Both share the
 ski.ski_mll_from_mvm estimator core, so both get the same breakdown:
 
-  - preconditioner rebuild (kron eigen-root, once per ``segment`` steps)
-  - forward MLL core (batched PCG solve of [y | probes] + SLQ logdet)
+  - preconditioner rebuild (kron eigen-root + orthonormal split basis,
+    once per ``segment`` steps; noise-independent, nothing runs per-loss)
+  - forward MLL core (split-preconditioned CG solve of [yc~ | probes]
+    + SLQ logdet)
   - full value_and_grad step (forward + the two-surrogate-mvm backward)
-  - the REALIZED PCG iteration count (while_loop trip count) at init and
+  - the REALIZED CG iteration count (while_loop trip count) at init and
     at trained hyperparameters, with the solve residual
-  - a single operator mvm at the CG block width and one preconditioner
-    apply - the units of the CG floor:
-        floor = (realized_iters + 1) x (mvm + precond apply)
+  - a single operator mvm at the CG block width and one P^-1/2 apply -
+    the units of the CG floor:
+        floor = (realized_iters + 1) x (mvm + 2 x pisqrt apply)
+    (each split-CG iteration applies At = P^-1/2 A P^-1/2)
 
 and the derived floor-or-gap statement recorded in
 benchmarks/BASELINE_MEASURED.md, which ties the cg_iters / n_probes /
@@ -83,10 +86,11 @@ def build_problem(lattice):
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
                                    "mgrid"))
-def _solve_probe(u, Lp, arrs, y, mask_, g0, g1, bounds, jitter, *,
+def _solve_probe(u, Qp, lam_n, arrs, y, mask_, g0, bounds, jitter, *,
                  kernel, grid_shape, cg_iters, mgrid):
-    """One PCG solve of [yc | probes]; returns (trip count, max rel
-    residual, the RHS block B)."""
+    """One split-CG solve of [yc~ | probes]; returns (trip count, max rel
+    residual of the split system, rel residual of the mapped-back yc
+    solve in the ORIGINAL system, the split RHS block B, noise_pj)."""
     pc = _constrain_task(u, bounds)
     kp = {"lengthscale": pc["lengthscale"], "variance": pc["variance"]}
     noise_pj = pc["noise"] + jitter
@@ -99,14 +103,19 @@ def _solve_probe(u, Lp, arrs, y, mask_, g0, g1, bounds, jitter, *,
         raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt,
                             sorted_corners=True)
     mvm = lambda v: raw(kp, noise_pj, v)
-    pinv, _ = ski.make_preconditioner(Lp, noise_pj)
-    z = jnp.sqrt(noise_pj) * g0 + Lp @ g1[:Lp.shape[1]]
-    B = jnp.concatenate([yc[:, None], z], axis=1)
-    X, _, _, k = ski.batched_pcg(mvm, pinv, B, cg_iters, return_iters=True)
-    R = B - mvm(X)
+    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj)
+    At = lambda v: pisqrt(mvm(pisqrt(v)))
+    B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+    X, _, _, k = ski.batched_pcg(At, lambda r: r, B, cg_iters,
+                                 return_iters=True)
+    R = B - At(X)
     rel = jnp.sqrt(jnp.sum(R * R, 0) / jnp.maximum(jnp.sum(B * B, 0),
                                                    1e-30))
-    return k, jnp.max(rel), B, noise_pj
+    alpha = pisqrt(X[:, 0])
+    r0 = yc - mvm(alpha)
+    rel0 = jnp.sqrt(jnp.sum(r0 * r0)
+                    / jnp.maximum(jnp.sum(yc * yc), 1e-30))
+    return k, jnp.max(rel), rel0, B, noise_pj
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "mgrid"))
@@ -126,24 +135,14 @@ def _mvm_probe(u, arrs, mask_, B, bounds, jitter, *,
 
 
 @jax.jit
-def _pinv_setup_probe(Lp, noise_pj):
-    """One-time-per-solve Woodbury core: C = noise I + L^T L + Cholesky
-    (the G x r x r gemm dominates; CG pays this once, not per iteration)."""
-    C = noise_pj * jnp.eye(Lp.shape[1], dtype=Lp.dtype) + Lp.T @ Lp
-    from gpim_tpu.ops.linalg import safe_cholesky
-    return safe_cholesky(C)
+def _pisqrt_apply_probe(Qp, lam_n, noise_pj, B):
+    """Per-CG-iteration P^-1/2 apply (two thin (G, r) gemms + diagonal);
+    each split-CG iteration pays TWO of these plus one operator mvm."""
+    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj)
+    return pisqrt(B)
 
 
-@jax.jit
-def _pinv_apply_probe(Lp, LC, noise_pj, B):
-    """Per-CG-iteration preconditioner apply with the core prebuilt:
-    two thin (G x r) gemms + a (r, r) cho_solve."""
-    from jax.scipy.linalg import cho_solve
-    t = Lp.T @ B
-    return (B - Lp @ cho_solve((LC, True), t)) / noise_pj
-
-
-def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, Lp_of,
+def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, root_of,
                 train, u):
     stat = dict(kernel=eng.kernel, grid_shape=eng.grid_shape,
                 mgrid=isinstance(eng, mgrid_model.MaskedGridEngine))
@@ -151,60 +150,62 @@ def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, Lp_of,
            "cg_cap": eng.cg_iters, "precond_rank": eng.precond_rank,
            "segment": eng.segment}
 
-    t_pre, (Lp, LtL) = _t(Lp_of, u)
+    t_pre, (Qp, lam_n) = _t(root_of, u)
     out["precond_rebuild_ms"] = round(t_pre * 1e3, 2)
 
     jl = jax.jit(lossf)
     vgf = jax.jit(jax.value_and_grad(lossf))
 
-    t_fwd, _ = _t(jl, *loss_args_of(u, Lp, LtL))
+    t_fwd, _ = _t(jl, *loss_args_of(u, Qp, lam_n))
     out["forward_init_ms"] = round(t_fwd * 1e3, 2)
-    t_vg, _ = _t(vgf, *loss_args_of(u, Lp, LtL))
+    t_vg, _ = _t(vgf, *loss_args_of(u, Qp, lam_n))
     out["value_and_grad_init_ms"] = round(t_vg * 1e3, 2)
 
-    k, rel, _, _ = jax.block_until_ready(_solve_probe(
-        *solve_args_of(u, Lp), cg_iters=eng.cg_iters, **stat))
+    k, rel, rel0, _, _ = jax.block_until_ready(_solve_probe(
+        *solve_args_of(u, Qp, lam_n), cg_iters=eng.cg_iters, **stat))
     out["realized_cg_iters_init"] = int(k)
     out["cg_max_rel_residual_init"] = float(f"{float(rel):.2e}")
+    out["orig_rel_residual_init"] = float(f"{float(rel0):.2e}")
 
     u_tr = train(u, 30)
-    Lp_tr, LtL_tr = Lp_of(u_tr)
-    k, rel, B, noise_pj = jax.block_until_ready(_solve_probe(
-        *solve_args_of(u_tr, Lp_tr), cg_iters=eng.cg_iters, **stat))
+    Qp_tr, lam_tr = root_of(u_tr)
+    k, rel, rel0, B, noise_pj = jax.block_until_ready(_solve_probe(
+        *solve_args_of(u_tr, Qp_tr, lam_tr), cg_iters=eng.cg_iters,
+        **stat))
     out["realized_cg_iters_trained"] = int(k)
     out["cg_max_rel_residual_trained"] = float(f"{float(rel):.2e}")
+    out["orig_rel_residual_trained"] = float(f"{float(rel0):.2e}")
 
-    t_fwd, _ = _t(jl, *loss_args_of(u_tr, Lp_tr, LtL_tr))
+    t_fwd, _ = _t(jl, *loss_args_of(u_tr, Qp_tr, lam_tr))
     out["forward_trained_ms"] = round(t_fwd * 1e3, 2)
-    t_vg, _ = _t(vgf, *loss_args_of(u_tr, Lp_tr, LtL_tr))
+    t_vg, _ = _t(vgf, *loss_args_of(u_tr, Qp_tr, lam_tr))
     out["value_and_grad_trained_ms"] = round(t_vg * 1e3, 2)
     out["backward_ms"] = round(
         (t_vg - t_fwd) * 1e3, 2)
 
-    sa = solve_args_of(u_tr, Lp_tr)
+    sa = solve_args_of(u_tr, Qp_tr, lam_tr)
     t_mvm, _ = _t(lambda: _mvm_probe(
-        sa[0], sa[2], sa[4], B, sa[7], sa[8], **stat), iters=50)
+        sa[0], sa[3], sa[5], B, sa[7], sa[8], **stat), iters=50)
     out["mvm_block_ms"] = round(t_mvm * 1e3, 3)
-    t_ps, LC = _t(lambda: _pinv_setup_probe(Lp_tr, noise_pj), iters=50)
-    out["pinv_setup_ms"] = round(t_ps * 1e3, 3)
-    t_pa, _ = _t(lambda: _pinv_apply_probe(Lp_tr, LC, noise_pj, B),
+    t_pa, _ = _t(lambda: _pisqrt_apply_probe(Qp_tr, lam_tr, noise_pj, B),
                  iters=50)
-    out["pinv_apply_ms"] = round(t_pa * 1e3, 3)
+    out["pisqrt_apply_ms"] = round(t_pa * 1e3, 3)
 
     t0 = time.time()
     train(u, 30)
     out["train_ms_per_iter"] = round((time.time() - t0) / 30 * 1e3, 1)
 
-    # floor = per-iter CG work x realized iters + once-per-solve setup
+    # floor = per-iter CG work x realized iters (split CG: one mvm + two
+    # half-applies per iteration; no per-solve factorization remains)
     for phase in ("init", "trained"):
         ki = out[f"realized_cg_iters_{phase}"]
         out[f"cg_floor_{phase}_ms"] = round(
-            (ki + 1) * (out["mvm_block_ms"] + out["pinv_apply_ms"])
-            + out["pinv_setup_ms"], 2)
+            (ki + 1) * (out["mvm_block_ms"]
+                        + 2.0 * out["pisqrt_apply_ms"]), 2)
     out["precond_amortized_ms"] = round(
         out["precond_rebuild_ms"] / eng.segment, 2)
     print(json.dumps(out))
-    return u_tr, Lp_tr
+    return u_tr, Qp_tr, lam_tr
 
 
 def run_mgrid():
@@ -219,15 +220,15 @@ def run_mgrid():
     lossf = partial(mgrid_model._loss, kernel=eng.kernel,
                     grid_shape=eng.grid_shape, cg_iters=eng.cg_iters)
 
-    def loss_args_of(u_, Lp, LtL):
-        return (u_, eng._axes, eng._mask, eng._g0, eng._g1, Lp, LtL,
+    def loss_args_of(u_, Qp, lam_n):
+        return (u_, eng._axes, eng._mask, eng._g0, Qp, lam_n,
                 eng._y, bounds, jit_)
 
-    def solve_args_of(u_, Lp):
-        return (u_, Lp, tuple(eng._axes), eng._y, eng._mask, eng._g0,
-                eng._g1, bounds, jit_)
+    def solve_args_of(u_, Qp, lam_n):
+        return (u_, Qp, lam_n, tuple(eng._axes), eng._y, eng._mask,
+                eng._g0, bounds, jit_)
 
-    def Lp_of(u_):
+    def root_of(u_):
         return mgrid_model._build_precond(
             u_, eng._axes, eng._mask, bounds, kernel=eng.kernel,
             grid_shape=eng.grid_shape, rank=eng.precond_rank)
@@ -237,7 +238,7 @@ def run_mgrid():
         return u2
 
     _instrument("mgrid_roofline_64x64x32", eng, lossf, loss_args_of,
-                solve_args_of, Lp_of, train, u)
+                solve_args_of, root_of, train, u)
 
 
 def run_offlattice():
@@ -248,34 +249,38 @@ def run_offlattice():
     bounds = m._bounds()
     jit_ = jnp.asarray(m.jitter, m.dtype)
     lr = jnp.asarray(0.1, m.dtype)
-    # the engine holds its points sorted by lower corner; mirror it
-    y, mask_ = m._yd[eng._permj], m._maskd[eng._permj]
+    # engine-internal order: points sorted by lower corner. The direct
+    # _loss/_solve probes below must mirror it; eng.train/predict permute
+    # the caller-order arrays themselves, so THEY get the originals.
+    y0, mask0 = m._yd, m._maskd
+    y, mask_ = y0[eng._permj], mask0[eng._permj]
 
     lossf = partial(ski_model._loss, kernel=eng.kernel,
                     grid_shape=eng.grid_shape, cg_iters=eng.cg_iters,
                     sorted_corners=True)
 
-    def loss_args_of(u_, Lp, LtL):
-        return (u_, eng._grids, eng._idx, eng._wgt, Lp, LtL, eng._g0,
-                eng._g1, y, mask_, bounds, jit_)
+    def loss_args_of(u_, Qp, lam_n):
+        return (u_, eng._grids, eng._idx, eng._wgt, Qp, lam_n, eng._g0,
+                y, mask_, bounds, jit_)
 
-    def solve_args_of(u_, Lp):
-        return (u_, Lp, (tuple(eng._grids), eng._idx, eng._wgt), y, mask_,
-                eng._g0, eng._g1, bounds, jit_)
+    def solve_args_of(u_, Qp, lam_n):
+        return (u_, Qp, lam_n, (tuple(eng._grids), eng._idx, eng._wgt),
+                y, mask_, eng._g0, bounds, jit_)
 
-    def Lp_of(u_):
+    def root_of(u_):
         return ski_model._build_precond(
             u_, eng._grids, eng._i0, eng._w0, eng._mask, bounds,
             kernel=eng.kernel, grid_shape=eng.grid_shape,
             rank=eng.precond_rank)
 
     def train(u_, iters):
-        u2, _ = eng.train(u_, y, mask_, bounds, lr, jit_, iterations=iters)
+        u2, _ = eng.train(u_, y0, mask0, bounds, lr, jit_,
+                          iterations=iters)
         return u2
 
-    u_tr, Lp_tr = _instrument("ski_offlattice_roofline_64x64x32", eng,
-                              lossf, loss_args_of, solve_args_of,
-                              Lp_of, train, u)
+    u_tr, Qp_tr, lam_tr = _instrument(
+        "ski_offlattice_roofline_64x64x32", eng, lossf, loss_args_of,
+        solve_args_of, root_of, train, u)
 
     if "--probes-sweep" in sys.argv:
         # gradient-noise budget: spread of d(loss)/d(u_ls0) across
@@ -289,10 +294,8 @@ def run_offlattice():
             gs = []
             for rep in range(6):
                 g0 = jnp.asarray(rng.choice(pm1, size=(n_pad, np_)))
-                g1 = jnp.asarray(
-                    rng.choice(pm1, size=(eng.precond_rank, np_)))
-                _, g = base(u_tr, eng._grids, eng._idx, eng._wgt, Lp_tr,
-                            None, g0, g1, y, mask_, bounds, jit_)
+                _, g = base(u_tr, eng._grids, eng._idx, eng._wgt, Qp_tr,
+                            lam_tr, g0, y, mask_, bounds, jit_)
                 gs.append(float(g["lengthscale"][0]))
             print(json.dumps(
                 {"metric": "ski_grad_probe_sweep", "n_probes": np_,

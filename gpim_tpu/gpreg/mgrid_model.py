@@ -117,10 +117,10 @@ def cartesian_axes_from_points(X_flat, dims, rtol=1e-6):
 # jitted programs (module-level: shared compilation across instances)
 # --------------------------------------------------------------------------
 
-def _loss(u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter, *,
+def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
           kernel, grid_shape, cg_iters):
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape, mask_flat)
-    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, g1)
+    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0)
     p = _constrain(u, bounds)
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
@@ -129,7 +129,7 @@ def _loss(u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     # identical objective to ski_model._loss with n_pad = G: masked grid
     # cells are exact noise*I rows of A, subtracted from the logdet
-    return (core(kp, noise_pj, yc, Lp, LtL)
+    return (core(kp, noise_pj, yc, Qp, lam_n)
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (G - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
@@ -138,23 +138,24 @@ def _loss(u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter, *,
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
 def _build_precond(u, axes, mask_flat, bounds, *, kernel, grid_shape, rank):
-    """Returns (Lp, Lp^T Lp): the root and its noise-independent Woodbury
-    core, both fixed for a whole training segment (see
-    ski.make_preconditioner on why LtL is precomputed here)."""
+    """Returns the preconditioner's orthonormal Nystrom form (Q, lam_n) -
+    NOISE-INDEPENDENT and fixed for a whole training segment, so no
+    factorization of any kind runs inside the loss (see ski.split_root)."""
     if rank == 0:
         Lp = jnp.zeros((mask_flat.shape[0], 0), mask_flat.dtype)
-        return Lp, Lp.T @ Lp
+        return Lp, jnp.zeros((0,), mask_flat.dtype)
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     lam_top, Us, mdim = ski._kron_top_modes(kernel, kp, list(axes), rank)
     sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
     Lp = ski.grid_kr_rows(sel, lam_top, mask_flat)
-    return Lp, Lp.T @ Lp
+    Qp, lam_n, _ = ski.split_root(Lp)
+    return Qp, lam_n
 
 
 @partial(jax.jit, static_argnames=(
     "kernel", "grid_shape", "cg_iters", "iterations"))
-def _train_seg(u0, opt_state, Lp, LtL, axes, mask_flat, g0, g1, y_flat,
+def _train_seg(u0, opt_state, Qp, lam_n, axes, mask_flat, g0, y_flat,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
                iterations):
     opt = optax.adam(learning_rate=lr)
@@ -164,7 +165,7 @@ def _train_seg(u0, opt_state, Lp, LtL, axes, mask_flat, g0, g1, y_flat,
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(lf)(
-            u, axes, mask_flat, g0, g1, Lp, LtL, y_flat, bounds, jitter)
+            u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
@@ -210,11 +211,12 @@ def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
                                             precond_rank)
     sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
     Lp = ski.grid_kr_rows(sel, lam_top, mask_flat)
-    pinv, _ = ski.make_preconditioner(Lp, noise_pj)
-    alpha, _, _ = ski.batched_pcg(
-        lambda v: mvm(kp, noise_pj, v), pinv, yc[:, None], cg_iters)
+    Qs, lam_n, Un = ski.split_root(Lp)
+    pisqrt, _ = ski.split_apply(Qs, lam_n, noise_pj)
+    alpha, _, _ = ski.split_pcg(
+        lambda v: mvm(kp, noise_pj, v), pisqrt, yc[:, None], cg_iters)
     am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
-    Bmat = ski._nystrom_bmat(Lp, lam_top, noise_pj)
+    Bmat = ski._nystrom_bmat(Lp, lam_top, noise_pj, eig=(lam_n, Un))
     d = len(axes)
 
     def one(xc):
@@ -283,9 +285,9 @@ class MaskedGridEngine:
         self.segment = int(segment)
         rng = np.random.default_rng(seed)
         pm1 = np.asarray([-1.0, 1.0], dtype)
+        # probes of the SPLIT operator (z~ with E[z~ z~^T] = I; equivalently
+        # z = P^1/2 z~ ~ N(0, P) - see ski.ski_mll)
         self._g0 = jnp.asarray(rng.choice(pm1, size=(G, n_probes)))
-        self._g1 = jnp.asarray(
-            rng.choice(pm1, size=(self.precond_rank, n_probes)))
 
     # -- the same train contract as SKIEngine.train -----------------------
 
@@ -301,13 +303,13 @@ class MaskedGridEngine:
         remaining = int(iterations)
         while remaining > 0:
             s = min(self.segment, remaining)
-            Lp, LtL = _build_precond(
+            Qp, lam_n = _build_precond(
                 u, self._axes, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 rank=self.precond_rank)
             u, opt_state, traj = _train_seg(
-                u, opt_state, Lp, LtL, self._axes, self._mask,
-                self._g0, self._g1, self._y, bounds, lr, jitter,
+                u, opt_state, Qp, lam_n, self._axes, self._mask,
+                self._g0, self._y, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s)
             trajs.append(traj)

@@ -39,10 +39,10 @@ _LOG_2PI = float(np.log(2.0 * np.pi))
 from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
-def _loss(u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter, *,
+def _loss(u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds, jitter, *,
           kernel, grid_shape, cg_iters, sorted_corners=False):
     core = ski.ski_mll(kernel, list(grids), grid_shape, idx, wgt,
-                       cg_iters, g0, g1, sorted_corners=sorted_corners)
+                       cg_iters, g0, sorted_corners=sorted_corners)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
@@ -51,7 +51,7 @@ def _loss(u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     # the interval-transform log-Jacobian MAP term keeps the objective
     # identical to the dense path's (multi._iv_loss)
-    return (core(kp, noise_pj, yc, Lp, LtL)
+    return (core(kp, noise_pj, yc, Qp, lam_n)
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
@@ -61,22 +61,24 @@ def _loss(u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter, *,
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
 def _build_precond(u, grids, i0, w0, mask_, bounds, *,
                    kernel, grid_shape, rank):
-    """Preconditioner root at the current hyperparameters (value-only).
-    Returns (Lp, Lp^T Lp): the noise-independent Woodbury core is computed
-    once per segment (see ski.make_preconditioner)."""
+    """Preconditioner at the current hyperparameters (value-only). Returns
+    the orthonormal Nystrom form (Q, lam_n) - noise-independent and fixed
+    for a whole training segment, so no factorization of any kind runs
+    inside the loss (see ski.split_root)."""
     if rank == 0:
         Lp = jnp.zeros((i0.shape[0], 0), w0.dtype)
-        return Lp, Lp.T @ Lp
+        return Lp, jnp.zeros((0,), w0.dtype)
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     Lp = ski.kron_eig_root(kernel, kp, list(grids), grid_shape,
                            i0, w0, rank, mask=mask_)
-    return Lp, Lp.T @ Lp
+    Qp, lam_n, _ = ski.split_root(Lp)
+    return Qp, lam_n
 
 
 @partial(jax.jit, static_argnames=(
     "kernel", "grid_shape", "cg_iters", "iterations", "sorted_corners"))
-def _train_seg(u0, opt_state, Lp, LtL, grids, idx, wgt, g0, g1, y, mask_,
+def _train_seg(u0, opt_state, Qp, lam_n, grids, idx, wgt, g0, y, mask_,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
                iterations, sorted_corners=False):
     opt = optax.adam(learning_rate=lr)
@@ -86,7 +88,7 @@ def _train_seg(u0, opt_state, Lp, LtL, grids, idx, wgt, g0, g1, y, mask_,
     def step(carry, _):
         u, opt_state = carry
         loss, g = jax.value_and_grad(lf)(
-            u, grids, idx, wgt, Lp, LtL, g0, g1, y, mask_, bounds, jitter)
+            u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
@@ -158,13 +160,11 @@ class SKIEngine:
         self.precond_rank = int(min(precond_rank, n_pad, G))
         self.segment = int(segment)
         rng = np.random.default_rng(seed)
-        # probe bases: SLQ probes are z = sqrt(noise) g0 + L_precond g1,
-        # giving E[z z^T] = P exactly (all the estimators need). Rademacher
-        # components have lower Hutchinson variance than Gaussians.
         pm1 = np.asarray([-1.0, 1.0], X_pad.dtype)
+        # probes of the SPLIT operator (z~ with E[z~ z~^T] = I; equivalently
+        # z = P^1/2 z~ ~ N(0, P) - see ski.ski_mll). Rademacher probes have
+        # lower Hutchinson variance than Gaussians.
         self._g0 = jnp.asarray(rng.choice(pm1, size=(n_pad, n_probes)))
-        self._g1 = jnp.asarray(
-            rng.choice(pm1, size=(self.precond_rank, n_probes)))
         self._key = jax.random.PRNGKey(seed)
 
     def train(self, u0, y, mask_, bounds, lr, jitter, *, iterations):
@@ -185,13 +185,13 @@ class SKIEngine:
         remaining = int(iterations)
         while remaining > 0:
             s = min(self.segment, remaining)
-            Lp, LtL = _build_precond(
+            Qp, lam_n = _build_precond(
                 u, self._grids, self._i0, self._w0, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 rank=self.precond_rank)
             u, opt_state, traj = _train_seg(
-                u, opt_state, Lp, LtL, self._grids, self._idx, self._wgt,
-                self._g0, self._g1, y, mask_, bounds, lr, jitter,
+                u, opt_state, Qp, lam_n, self._grids, self._idx, self._wgt,
+                self._g0, y, mask_, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s,
                 sorted_corners=True)

@@ -42,6 +42,7 @@ from gpim_tpu.ops.linalg import safe_cholesky
 __all__ = [
     "choose_grid", "build_interp", "build_interp_sep", "ski_mvm",
     "batched_cg", "batched_pcg", "kron_eig_root", "make_preconditioner",
+    "split_root", "split_apply", "split_pcg",
     "lanczos", "ski_mll", "ski_mll_from_mvm", "make_ski_predictor",
     "grid_kernel_factors", "make_masked_grid_mvm", "grid_kr_rows",
     "grid_nystrom_var", "make_grid_predictor", "grid_cross_factors",
@@ -354,6 +355,91 @@ def make_preconditioner(L, noise_pj, LtL=None):
     return apply, logdet
 
 
+# --------------------------------------------------------------------------
+# split preconditioning: the f32-stable form of the Woodbury solve
+# --------------------------------------------------------------------------
+#
+# Applying P^-1 = (noise I + L L^T)^-1 via the Woodbury identity computes
+# (v - L C^-1 L^T v)/noise: for v in the top eigenspace the two terms agree
+# to ~noise/lam and the difference carries a relative error of order
+# sqrt(G) * eps * lam/noise. At the reference's headline scale (G ~ 1.2M,
+# lam_max/noise ~ 3e5) that error EXCEEDS the true value ~30x: the PCG
+# quadratic form r^T P^-1 r comes out NEGATIVE, the breakdown guard fires
+# on iteration 1, and the "solution" carries a ~150% residual (observed on
+# TPU f32 - the round-3 1M-point benchmark regression). The fix is to run
+# PLAIN CG on the split-preconditioned operator P^-1/2 A P^-1/2 with
+# P^+-1/2 applied through an ORTHONORMAL Nystrom basis
+#
+#     N = L^T L = Un lam_n Un^T,   Q = L Un lam_n^-1/2   (Q^T Q = I),
+#     P^-1/2 v = v/sqrt(noise) + Q [(1/sqrt(lam_n+noise)
+#                                    - 1/sqrt(noise)) (Q^T v)]
+#
+# whose amplification is only sqrt(lam/noise): the transformed residual is
+# maintained by the CG recurrence (never by a P apply), r^T z = |r~|^2 is
+# nonnegative by construction, and the recovered tridiagonals are directly
+# the Lanczos matrices of the split operator (the SLQ contract). As a
+# bonus, (Q, lam_n) is NOISE-INDEPENDENT, so the whole factorization hoists
+# out of the training loop (the old path re-ran a Cholesky of
+# noise I + L^T L inside every loss evaluation).
+
+
+def split_root(Lp, LtL=None):
+    """Orthonormal Nystrom basis of the preconditioner root: returns
+    (Q, lam_n, Un) with Q^T Q = I (up to pruned null columns) and
+    Lp Lp^T = Q diag(lam_n) Q^T. Noise-independent: compute once per
+    training segment. ``LtL`` optionally supplies a precomputed Lp^T Lp."""
+    n, r = Lp.shape
+    if r == 0:
+        z = jnp.zeros((0,), Lp.dtype)
+        return Lp, z, jnp.zeros((0, 0), Lp.dtype)
+    if LtL is None:
+        LtL = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGHEST)
+    # operand pinned like ops.linalg.safe_cholesky (TPU whole-graph fusion
+    # miscompile family)
+    lam_n, Un = jnp.linalg.eigh(jax.lax.optimization_barrier(LtL))
+    lam_n = jnp.maximum(lam_n, 0.0)
+    good = lam_n > 1e-6 * jnp.max(lam_n)
+    inv_root = jnp.where(
+        good, 1.0 / jnp.sqrt(jnp.maximum(lam_n, 1e-30)), 0.0)
+    lam_n = jnp.where(good, lam_n, 0.0)
+    Q = jnp.dot(Lp, Un * inv_root[None, :],
+                precision=jax.lax.Precision.HIGHEST)
+    return Q, lam_n, Un
+
+
+def split_apply(Q, lam_n, noise_pj):
+    """Returns (pisqrt, logdetP) for P = noise_pj I + Q diag(lam_n) Q^T:
+    ``pisqrt(v)`` applies P^-1/2 to (n,) or (n, b); ``logdetP`` is exact.
+    Shapes degrade gracefully to rank 0 (pisqrt = v/sqrt(noise))."""
+    s = 1.0 / jnp.sqrt(noise_pj)
+    d = 1.0 / jnp.sqrt(lam_n + noise_pj) - s
+
+    def pisqrt(v):
+        squeeze = v.ndim == 1
+        if squeeze:
+            v = v[:, None]
+        c = jnp.dot(Q.T, v, precision=jax.lax.Precision.HIGHEST)
+        out = s * v + jnp.dot(Q, d[:, None] * c,
+                              precision=jax.lax.Precision.HIGHEST)
+        return out[:, 0] if squeeze else out
+
+    logdetP = (Q.shape[0] * jnp.log(noise_pj)
+               + jnp.sum(jnp.log1p(lam_n / noise_pj)))
+    return pisqrt, logdetP
+
+
+def split_pcg(mvm, pisqrt, B, iters, return_iters=False):
+    """Split-preconditioned CG solve of A X = B: plain CG on
+    At = P^-1/2 A P^-1/2 with X = P^-1/2 Xt mapped back at the end.
+    Same outputs as :func:`batched_pcg` (the tridiagonals are the split
+    operator's Lanczos matrices - identical contract)."""
+    Bt = pisqrt(B)
+    At = lambda v: pisqrt(mvm(pisqrt(v)))
+    out = batched_pcg(At, lambda r: r, Bt, iters,
+                      return_iters=return_iters)
+    return (pisqrt(out[0]),) + tuple(out[1:])
+
+
 def batched_pcg(mvm, pinv, B, iters, return_iters=False):
     """Preconditioned conjugate gradients for A X = B, all columns at once.
 
@@ -480,53 +566,53 @@ def _make_mvm(kernel, grids, grid_shape, idx, wgt, sorted_corners=False):
     return mvm
 
 
-def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0, g1,
+def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
             sorted_corners=False):
-    """Returns loss_core(p, noise_pj, yc, Lp) = 0.5 yc^T A^-1 yc
-    + 0.5 logdet A with preconditioned CG solves and trace-estimated custom
-    gradients (the BBMM estimator family, Gardner et al. 2018 - GPyTorch's
-    engine for the reference's SKI path, skgpr.py:124-131).
+    """Returns loss_core(p, noise_pj, yc, Q, lam_n) = 0.5 yc^T A^-1 yc
+    + 0.5 logdet A with split-preconditioned CG solves and trace-estimated
+    custom gradients (the BBMM estimator family, Gardner et al. 2018 -
+    GPyTorch's engine for the reference's SKI path, skgpr.py:124-131).
 
-    ``Lp`` (n, r) is a low-rank preconditioner root, P = noise I + Lp Lp^T -
-    build it with :func:`kron_eig_root` (r = 0 disables preconditioning
-    exactly). Lp may be STALE (built at earlier hyperparameters): every
-    estimator below is exact-in-expectation for ANY SPD P, staleness only
-    costs CG iterations and probe variance, so callers rebuild it every few
-    optimizer steps rather than every step. Gradients do not flow into Lp.
+    ``(Q, lam_n)`` is the orthonormal Nystrom form of the preconditioner
+    P = noise I + Q diag(lam_n) Q^T - build it with :func:`kron_eig_root`
+    + :func:`split_root` (rank 0 disables preconditioning exactly). It may
+    be STALE (built at earlier hyperparameters): every estimator below is
+    exact-in-expectation for ANY SPD P, staleness only costs CG iterations
+    and probe variance, so callers rebuild it every few optimizer steps.
+    It is also NOISE-INDEPENDENT, so nothing preconditioner-shaped runs
+    inside the training loop at all. Gradients do not flow into it.
 
-    ``g0`` (n, p) and ``g1`` (rank, p) are fixed probe bases with
-    E[g g^T] = I (standard-normal or Rademacher); the SLQ probes are
-    z_i = sqrt(noise) g0_i + Lp g1_i, giving E[z z^T] = P exactly, so
-    logdet A = logdet P + E_z[z~N(0,P)-weighted SLQ of P^-1/2 A P^-1/2].
-    The gradient uses s_i^T dA (P^-1 z_i) with s_i = A^-1 z_i, which is
-    unbiased (E[(P^-1 z) z^T] = I) WITHOUT differentiating through the
-    preconditioner - it enters only via stop-gradient residuals. The caller
-    adds constants and the padded-logdet correction outside."""
+    ``g0`` (n, p) is a fixed probe basis with E[g g^T] = I (Rademacher or
+    standard-normal), used DIRECTLY as probes z~ of the split operator
+    At = P^-1/2 A P^-1/2 (equivalently z = P^1/2 z~ ~ N(0, P)):
+    logdet A = logdet P + E[SLQ of At]. The gradient uses
+    s_i^T dA w_i with s_i = A^-1 z_i = P^-1/2 At^-1 z~_i and
+    w_i = P^-1 z_i = P^-1/2 z~_i, which is unbiased
+    (E[w z^T] = P^-1 E[z z^T] = I) WITHOUT differentiating through the
+    preconditioner. The caller adds constants and the padded-logdet
+    correction outside. See the split-preconditioning block comment above
+    :func:`split_root` for why plain Woodbury PCG is numerically unsafe
+    here."""
     return ski_mll_from_mvm(
         _make_mvm(kernel, grids, grid_shape, idx, wgt,
-                  sorted_corners=sorted_corners), cg_iters, g0, g1)
+                  sorted_corners=sorted_corners), cg_iters, g0)
 
 
-def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
+def ski_mll_from_mvm(mvm, cg_iters, g0):
     """:func:`ski_mll` core over an arbitrary ``mvm(p, noise_pj, v)``
     (used by both the interpolation operator and the masked-grid operator;
     same estimator contract as documented on ski_mll)."""
 
     @partial(jax.custom_vjp, nondiff_argnums=())
-    def core(p, noise_pj, yc, Lp, LtL=None):
-        out, _ = _fwd(p, noise_pj, yc, Lp, LtL)
+    def core(p, noise_pj, yc, Q, lam_n):
+        out, _ = _fwd(p, noise_pj, yc, Q, lam_n)
         return out
 
-    def _fwd(p, noise_pj, yc, Lp, LtL=None):
-        pinv, logdetP = make_preconditioner(Lp, noise_pj, LtL)
-        z = jnp.sqrt(noise_pj) * g0
-        if Lp.shape[1] > 0:
-            # kron_eig_root may round the rank down (grid/chunk limits);
-            # the unused probe-basis rows drop out (static slice)
-            z = z + Lp @ g1[:Lp.shape[1]]
-        B = jnp.concatenate([yc[:, None], z], axis=1)
-        X, t_diags, t_offs = batched_pcg(
-            lambda v: mvm(p, noise_pj, v), pinv, B, cg_iters)
+    def _fwd(p, noise_pj, yc, Q, lam_n):
+        pisqrt, logdetP = split_apply(Q, lam_n, noise_pj)
+        At = lambda v: pisqrt(mvm(p, noise_pj, pisqrt(v)))
+        B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+        X, t_diags, t_offs = batched_cg(At, B, cg_iters)
         # the sliced loop outputs are pinned AFTER slicing: on the TPU
         # backend, feeding a strided column slice of a loop output into the
         # differentiated mvm of the backward pass miscompiles the LOOP
@@ -534,18 +620,20 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
         # grid dims, value-only program bit-exact and finite). A barrier on
         # the whole X does NOT help; barriers on the slices do - the same
         # workaround family as ops.linalg.safe_cholesky.
-        alpha, solves = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
-        w = jax.lax.optimization_barrier(pinv(z))    # P^-1 z
-        sqnorms = jnp.sum(z * w, axis=0)             # |P^-1/2 z|^2
+        Xa, Xs = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
+        alpha = pisqrt(Xa)                           # A^-1 yc
+        solves = pisqrt(Xs)                          # A^-1 z_i
+        w = jax.lax.optimization_barrier(pisqrt(g0))  # P^-1 z = P^-1/2 z~
+        sqnorms = jnp.sum(g0 * g0, axis=0)           # |z~|^2 (= n exactly)
         td, to = jax.lax.optimization_barrier(
             (t_diags[:, 1:], t_offs[:, 1:]))         # sliced: see above
         logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
         quad = 0.5 * jnp.dot(yc, alpha)
         out = quad + 0.5 * logdet
-        return out, (p, noise_pj, alpha, solves, w, Lp, LtL)
+        return out, (p, noise_pj, alpha, solves, w, Q, lam_n)
 
     def _bwd(res, g):
-        p, noise_pj, alpha, solves, w, Lp, LtL = res
+        p, noise_pj, alpha, solves, w, Q, lam_n = res
         n_probes = solves.shape[1]
 
         def surrogate(p_, noise_pj_):
@@ -560,8 +648,8 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, g1):
 
         gp, gn = jax.grad(surrogate, argnums=(0, 1))(p, noise_pj)
         gp = jax.tree_util.tree_map(lambda x: g * x, gp)
-        return (gp, g * gn, g * alpha, jnp.zeros_like(Lp),
-                None if LtL is None else jnp.zeros_like(LtL))
+        return (gp, g * gn, g * alpha, jnp.zeros_like(Q),
+                jnp.zeros_like(lam_n))
 
     core.defvjp(_fwd, _bwd)
     return core
@@ -639,10 +727,14 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
                                precond_rank, mask=mask, modes=modes)
             Lt = kron_eig_root(kernel, p, grids, grid_shape, t_i0, t_w0,
                                precond_rank, modes=modes)
-            pinv, _ = make_preconditioner(Lp, noise_pj)
+            # split solve (f32-stable, see split_root); the single eigh of
+            # Lp^T Lp is shared with the Nystrom variance below
+            Qs, lam_n, Un = split_root(Lp)
+            pisqrt, _ = split_apply(Qs, lam_n, noise_pj)
+            alpha, _, _ = split_pcg(mvm, pisqrt, yc[:, None], cg_iters)
         else:
             pinv = lambda v: v / noise_pj
-        alpha, _, _ = batched_pcg(mvm, pinv, yc[:, None], cg_iters)
+            alpha, _, _ = batched_pcg(mvm, pinv, yc[:, None], cg_iters)
         alpha = alpha[:, 0]
 
         def WT(v):  # (n,) or (n,r) -> grid (G, .)
@@ -675,11 +767,9 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
             # fallback's rank), K_* ~= Lt Lp^T and A ~= Lp Lp^T + noise I,
             # so  diag(K_* A^-1 K_*^T) = row-norms^2 of Lt S^1/2  with
             # S = N (N + noise I)^-1, N = Lp^T Lp  (push-through identity;
-            # everything is gemms + one r x r eigh - no sequential Lanczos
-            # chain, and rank 512 >> LOVE's default 100).
-            N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
-            lam_n, Un = jnp.linalg.eigh(N)
-            lam_n = jnp.maximum(lam_n, 0.0)
+            # everything is gemms + the ONE r x r eigh already computed for
+            # the split solve above - no sequential Lanczos chain, and
+            # rank 512 >> LOVE's default 100).
             scale = jnp.sqrt(lam_n / (lam_n + noise_pj))
             # rotating back by Un^T preserves row norms - skip it
             H = jnp.dot(Lt, Un,
@@ -823,7 +913,7 @@ def grid_cross_factors(kernel, p, grids, test_axes):
     return out
 
 
-def _nystrom_bmat(Lp, lam_top, noise_pj):
+def _nystrom_bmat(Lp, lam_top, noise_pj, eig=None):
     """Shared Nystrom rotation: with K_UU ~= U_r Lam U_r^T and
     A ~= Lp Lp^T + noise I (Lp = M U_r sqrt(Lam)), the predictive-variance
     correction diag(K_*,t A^-1 K_*,t^T) equals row_norms^2 of
@@ -833,10 +923,15 @@ def _nystrom_bmat(Lp, lam_top, noise_pj):
         Bmat = Lam^{-1/2}-scaled  Un sqrt(lam_n / (lam_n + noise)),
 
     where N = Lp^T Lp = Un lam_n Un^T (push-through identity). For
-    test == train grid, C U_r = U_r Lam and Lt reduces to U_r sqrt(Lam)."""
-    N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
-    lam_n, Un = jnp.linalg.eigh(N)
-    lam_n = jnp.maximum(lam_n, 0.0)
+    test == train grid, C U_r = U_r Lam and Lt reduces to U_r sqrt(Lam).
+    ``eig`` optionally supplies a precomputed (lam_n, Un) - e.g. the one
+    :func:`split_root` already produced for the mean solve."""
+    if eig is not None:
+        lam_n, Un = eig
+    else:
+        N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
+        lam_n, Un = jnp.linalg.eigh(N)
+        lam_n = jnp.maximum(lam_n, 0.0)
     scale = jnp.sqrt(lam_n / (lam_n + noise_pj))
     inv_root = 1.0 / jnp.sqrt(
         jnp.maximum(lam_top, 1e-12 * jnp.max(lam_top)))
@@ -869,9 +964,13 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
         lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, precond_rank)
         sel = [Us[k][:, mdim[k]] for k in range(len(grids))]
         Lp = grid_kr_rows(sel, lam_top, mask_flat)
-        pinv, _ = make_preconditioner(Lp, noise_pj)
-        alpha, _, _ = batched_pcg(
-            lambda v: mvm(p, noise_pj, v), pinv, yc_flat[:, None], cg_iters)
+        # split solve (f32-stable at reference scale, see split_root); the
+        # eigh of Lp^T Lp is shared with the Nystrom variance below
+        Qs, lam_n, Un = split_root(Lp)
+        pisqrt, _ = split_apply(Qs, lam_n, noise_pj)
+        alpha, _, _ = split_pcg(
+            lambda v: mvm(p, noise_pj, v), pisqrt, yc_flat[:, None],
+            cg_iters)
         am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
         C_list = grid_cross_factors(kernel, p, grids, t_axes)
         # shard the mean's leading test mode only: sel_t[0] below must stay
@@ -879,7 +978,7 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
         mean = modeprod([c(C_list[0], ("grid", None))] + C_list[1:],
                         am).reshape(-1)
 
-        Bmat = _nystrom_bmat(Lp, lam_top, noise_pj)
+        Bmat = _nystrom_bmat(Lp, lam_top, noise_pj, eig=(lam_n, Un))
         sel_t = [jnp.dot(C, s, precision=jax.lax.Precision.HIGHEST)
                  for C, s in zip(C_list, sel)]
         var = grid_nystrom_var(sel_t, Bmat, kss, shard=c if mesh else None)
