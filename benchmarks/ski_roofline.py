@@ -64,10 +64,9 @@ def _t(fn, *a, iters=20):
     return (time.time() - t0) / iters, out
 
 
-def build_problem(lattice):
+def build_problem(lattice, shape=(64, 64, 32)):
     from scipy.ndimage import gaussian_filter
     rng = np.random.RandomState(2)
-    shape = (64, 64, 32)
     f = gaussian_filter(rng.randn(*shape), sigma=(4, 4, 2))
     f = (f - f.min()) / (f.max() - f.min())
     R = f + 0.02 * rng.randn(*shape)
@@ -95,23 +94,27 @@ def _solve_probe(u, Qp, lam_n, arrs, y, mask_, g0, bounds, jitter, *,
     kp = {"lengthscale": pc["lengthscale"], "variance": pc["variance"]}
     noise_pj = pc["noise"] + jitter
     yc = (y - pc["mean"]) * mask_
+    ax = 1 if mgrid else 0                # mgrid runs batch-first
     if mgrid:
         raw = ski.make_masked_grid_mvm(kernel, list(arrs), grid_shape,
-                                       mask_)
+                                       mask_, batch_first=True)
     else:
         grids, idx, wgt = arrs
         raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt,
                             sorted_corners=True)
     mvm = lambda v: raw(kp, noise_pj, v)
-    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj)
+    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj, vec_axis=ax)
     At = lambda v: pisqrt(mvm(pisqrt(v)))
-    B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+    if mgrid:
+        B = jnp.concatenate([pisqrt(yc[None, :]), g0], axis=0)
+    else:
+        B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
     X, _, _, k = ski.batched_pcg(At, lambda r: r, B, cg_iters,
-                                 return_iters=True)
+                                 return_iters=True, vec_axis=ax)
     R = B - At(X)
-    rel = jnp.sqrt(jnp.sum(R * R, 0) / jnp.maximum(jnp.sum(B * B, 0),
-                                                   1e-30))
-    alpha = pisqrt(X[:, 0])
+    rel = jnp.sqrt(jnp.sum(R * R, ax) / jnp.maximum(jnp.sum(B * B, ax),
+                                                    1e-30))
+    alpha = pisqrt(X[0] if mgrid else X[:, 0])
     r0 = yc - mvm(alpha)
     rel0 = jnp.sqrt(jnp.sum(r0 * r0)
                     / jnp.maximum(jnp.sum(yc * yc), 1e-30))
@@ -126,7 +129,7 @@ def _mvm_probe(u, arrs, mask_, B, bounds, jitter, *,
     noise_pj = pc["noise"] + jitter
     if mgrid:
         raw = ski.make_masked_grid_mvm(kernel, list(arrs), grid_shape,
-                                       mask_)
+                                       mask_, batch_first=True)
     else:
         grids, idx, wgt = arrs
         raw = ski._make_mvm(kernel, list(grids), grid_shape, idx, wgt,
@@ -134,19 +137,21 @@ def _mvm_probe(u, arrs, mask_, B, bounds, jitter, *,
     return raw(kp, noise_pj, B)
 
 
-@jax.jit
-def _pisqrt_apply_probe(Qp, lam_n, noise_pj, B):
-    """Per-CG-iteration P^-1/2 apply (two thin (G, r) gemms + diagonal);
-    each split-CG iteration pays TWO of these plus one operator mvm."""
-    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj)
+@partial(jax.jit, static_argnames=("ax",))
+def _pisqrt_apply_probe(Qp, lam_n, noise_pj, B, *, ax):
+    """Per-CG-iteration P^-1/2 apply; each split-CG iteration pays TWO of
+    these plus one operator mvm."""
+    pisqrt, _ = ski.split_apply(Qp, lam_n, noise_pj, vec_axis=ax)
     return pisqrt(B)
 
 
 def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, root_of,
                 train, u):
+    is_mgrid = isinstance(eng, mgrid_model.MaskedGridEngine)
     stat = dict(kernel=eng.kernel, grid_shape=eng.grid_shape,
-                mgrid=isinstance(eng, mgrid_model.MaskedGridEngine))
-    out = {"metric": tag, "n_probes": int(eng._g0.shape[1]),
+                mgrid=is_mgrid)
+    out = {"metric": tag,
+           "n_probes": int(eng._g0.shape[0 if is_mgrid else 1]),
            "cg_cap": eng.cg_iters, "precond_rank": eng.precond_rank,
            "segment": eng.segment}
 
@@ -187,8 +192,8 @@ def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, root_of,
     t_mvm, _ = _t(lambda: _mvm_probe(
         sa[0], sa[3], sa[5], B, sa[7], sa[8], **stat), iters=50)
     out["mvm_block_ms"] = round(t_mvm * 1e3, 3)
-    t_pa, _ = _t(lambda: _pisqrt_apply_probe(Qp_tr, lam_tr, noise_pj, B),
-                 iters=50)
+    t_pa, _ = _t(lambda: _pisqrt_apply_probe(
+        Qp_tr, lam_tr, noise_pj, B, ax=1 if is_mgrid else 0), iters=50)
     out["pisqrt_apply_ms"] = round(t_pa * 1e3, 3)
 
     t0 = time.time()
@@ -208,8 +213,8 @@ def _instrument(tag, eng, lossf, loss_args_of, solve_args_of, root_of,
     return u_tr, Qp_tr, lam_tr
 
 
-def run_mgrid():
-    m = build_problem(lattice=True)
+def run_mgrid(shape=(64, 64, 32)):
+    m = build_problem(lattice=True, shape=shape)
     eng = m._mgrid_engine
     assert eng is not None
     u = {k: v[0] for k, v in m.u.items()}
@@ -237,8 +242,8 @@ def run_mgrid():
         u2, _ = eng.train(u_, bounds, lr, jit_, iterations=iters)
         return u2
 
-    _instrument("mgrid_roofline_64x64x32", eng, lossf, loss_args_of,
-                solve_args_of, root_of, train, u)
+    _instrument("mgrid_roofline_%dx%dx%d" % shape, eng, lossf,
+                loss_args_of, solve_args_of, root_of, train, u)
 
 
 def run_offlattice():
@@ -304,6 +309,10 @@ def run_offlattice():
 
 
 def main():
+    if "--large" in sys.argv:
+        # the reference-scale regime (suite row mgrid_masked128x128x64)
+        run_mgrid(shape=(128, 128, 64))
+        return
     if "--offlattice-only" not in sys.argv:
         run_mgrid()
     run_offlattice()

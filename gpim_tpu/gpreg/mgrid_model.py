@@ -119,8 +119,12 @@ def cartesian_axes_from_points(X_flat, dims, rtol=1e-6):
 
 def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
           kernel, grid_shape, cg_iters):
-    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape, mask_flat)
-    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0)
+    # batch-first layout throughout (g0 is (n_probes, G)): the CG state
+    # never materializes a lane-padded (G, small) block - see
+    # ski.batched_pcg on the TPU tiling economics
+    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
+                                   mask_flat, batch_first=True)
+    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1)
     p = _constrain(u, bounds)
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
@@ -140,16 +144,17 @@ def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
 def _build_precond(u, axes, mask_flat, bounds, *, kernel, grid_shape, rank):
     """Returns the preconditioner's orthonormal Nystrom form (Q, lam_n) -
     NOISE-INDEPENDENT and fixed for a whole training segment, so no
-    factorization of any kind runs inside the loss (see ski.split_root)."""
+    factorization of any kind runs inside the loss. Q is the FACTORED
+    :class:`ski.KronRoot` (mode products, no stored (G, r) matrix - see
+    ski.mgrid_split_root; at G ~ 1M the dense basis is ~2 GB of HBM
+    re-read twice per CG iteration)."""
     if rank == 0:
         Lp = jnp.zeros((mask_flat.shape[0], 0), mask_flat.dtype)
         return Lp, jnp.zeros((0,), mask_flat.dtype)
     p = _constrain(u, bounds)
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
-    lam_top, Us, mdim = ski._kron_top_modes(kernel, kp, list(axes), rank)
-    sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
-    Lp = ski.grid_kr_rows(sel, lam_top, mask_flat)
-    Qp, lam_n, _ = ski.split_root(Lp)
+    Qp, lam_n, _, _ = ski.mgrid_split_root(
+        kernel, kp, list(axes), grid_shape, mask_flat, rank)
     return Qp, lam_n
 
 
@@ -206,17 +211,17 @@ def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
-    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape, mask_flat)
-    lam_top, Us, mdim = ski._kron_top_modes(kernel, kp, list(axes),
-                                            precond_rank)
+    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
+                                   mask_flat, batch_first=True)
+    Qs, lam_n, Un, (lam_top, Us, mdim) = ski.mgrid_split_root(
+        kernel, kp, list(axes), grid_shape, mask_flat, precond_rank)
     sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
-    Lp = ski.grid_kr_rows(sel, lam_top, mask_flat)
-    Qs, lam_n, Un = ski.split_root(Lp)
-    pisqrt, _ = ski.split_apply(Qs, lam_n, noise_pj)
+    pisqrt, _ = ski.split_apply(Qs, lam_n, noise_pj, vec_axis=1)
     alpha, _, _ = ski.split_pcg(
-        lambda v: mvm(kp, noise_pj, v), pisqrt, yc[:, None], cg_iters)
-    am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
-    Bmat = ski._nystrom_bmat(Lp, lam_top, noise_pj, eig=(lam_n, Un))
+        lambda v: mvm(kp, noise_pj, v), pisqrt, yc[None, :], cg_iters,
+        vec_axis=1)
+    am = (alpha[0] * mask_flat).reshape(grid_shape)
+    Bmat = ski._nystrom_bmat(None, lam_top, noise_pj, eig=(lam_n, Un))
     d = len(axes)
 
     def one(xc):
@@ -286,8 +291,9 @@ class MaskedGridEngine:
         rng = np.random.default_rng(seed)
         pm1 = np.asarray([-1.0, 1.0], dtype)
         # probes of the SPLIT operator (z~ with E[z~ z~^T] = I; equivalently
-        # z = P^1/2 z~ ~ N(0, P) - see ski.ski_mll)
-        self._g0 = jnp.asarray(rng.choice(pm1, size=(G, n_probes)))
+        # z = P^1/2 z~ ~ N(0, P) - see ski.ski_mll), BATCH-FIRST (probes
+        # are rows: see ski.batched_pcg on the TPU tiling economics)
+        self._g0 = jnp.asarray(rng.choice(pm1, size=(n_probes, G)))
 
     # -- the same train contract as SKIEngine.train -----------------------
 

@@ -32,6 +32,7 @@ kernels make for non-separable families like Matern.
 
 import math
 from functools import partial
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -42,7 +43,8 @@ from gpim_tpu.ops.linalg import safe_cholesky
 __all__ = [
     "choose_grid", "build_interp", "build_interp_sep", "ski_mvm",
     "batched_cg", "batched_pcg", "kron_eig_root", "make_preconditioner",
-    "split_root", "split_apply", "split_pcg",
+    "split_root", "split_apply", "split_pcg", "KronRoot",
+    "mgrid_split_root",
     "lanczos", "ski_mll", "ski_mll_from_mvm", "make_ski_predictor",
     "grid_kernel_factors", "make_masked_grid_mvm", "grid_kr_rows",
     "grid_nystrom_var", "make_grid_predictor", "grid_cross_factors",
@@ -165,6 +167,19 @@ def kron_mvm(factors, v_grid):
     for k in range(d):
         out = jnp.tensordot(factors[k], out, axes=([1], [k]))
         out = jnp.moveaxis(out, 0, k)
+    return out
+
+
+def kron_mvm_bf(factors, t):
+    """Batch-first mode products: ``t`` is (b, g_1, ..., g_d); factor k is
+    applied as sum_x factors[k][x, m] t[..., x, ...] (i.e. factors[k]^T -
+    pass the transpose for a non-symmetric factor; kernel Gram factors are
+    symmetric). Each step contracts axis 1 and appends the result axis at
+    the END, so after d steps the axis order has rotated back to the
+    original - no explicit transposes between gemms."""
+    out = t
+    for f in factors:
+        out = jax.lax.dot_general(out, f, (((1,), (0,)), ((), ())))
     return out
 
 
@@ -407,41 +422,185 @@ def split_root(Lp, LtL=None):
     return Q, lam_n, Un
 
 
-def split_apply(Q, lam_n, noise_pj):
+def split_apply(Q, lam_n, noise_pj, vec_axis=0):
     """Returns (pisqrt, logdetP) for P = noise_pj I + Q diag(lam_n) Q^T:
-    ``pisqrt(v)`` applies P^-1/2 to (n,) or (n, b); ``logdetP`` is exact.
-    Shapes degrade gracefully to rank 0 (pisqrt = v/sqrt(noise))."""
+    ``pisqrt(v)`` applies P^-1/2 to a vector (n,), or to a block laid out
+    per ``vec_axis`` ((n, b) for 0, batch-first (b, n) for 1 - see
+    :func:`batched_pcg`); ``logdetP`` is exact. ``Q`` is either a dense
+    (n, r) orthonormal basis (:func:`split_root`) or a factored
+    :class:`KronRoot` (:func:`mgrid_split_root`). Shapes degrade
+    gracefully to rank 0 (pisqrt = v/sqrt(noise))."""
     s = 1.0 / jnp.sqrt(noise_pj)
     d = 1.0 / jnp.sqrt(lam_n + noise_pj) - s
+    bf = vec_axis == 1
 
-    def pisqrt(v):
-        squeeze = v.ndim == 1
-        if squeeze:
-            v = v[:, None]
-        c = jnp.dot(Q.T, v, precision=jax.lax.Precision.HIGHEST)
-        out = s * v + jnp.dot(Q, d[:, None] * c,
-                              precision=jax.lax.Precision.HIGHEST)
-        return out[:, 0] if squeeze else out
+    if isinstance(Q, KronRoot):
+        QT, Qm = _kron_root_ops(Q, batch_first=bf)
+        n_total = Q.mask.shape[0]
 
-    logdetP = (Q.shape[0] * jnp.log(noise_pj)
+        def pisqrt(v):
+            squeeze = v.ndim == 1
+            if squeeze:
+                v = v[None, :] if bf else v[:, None]
+            c = QT(v)
+            out = s * v + Qm(c * d[None, :] if bf else d[:, None] * c)
+            return (out[0] if bf else out[:, 0]) if squeeze else out
+    else:
+        n_total = Q.shape[0]
+
+        def pisqrt(v):
+            squeeze = v.ndim == 1
+            if squeeze:
+                v = v[None, :] if bf else v[:, None]
+            if bf:
+                c = jnp.dot(v, Q, precision=jax.lax.Precision.HIGHEST)
+                out = s * v + jnp.dot(c * d[None, :], Q.T,
+                                      precision=jax.lax.Precision.HIGHEST)
+            else:
+                c = jnp.dot(Q.T, v, precision=jax.lax.Precision.HIGHEST)
+                out = s * v + jnp.dot(Q, d[:, None] * c,
+                                      precision=jax.lax.Precision.HIGHEST)
+            return (out[0] if bf else out[:, 0]) if squeeze else out
+
+    logdetP = (n_total * jnp.log(noise_pj)
                + jnp.sum(jnp.log1p(lam_n / noise_pj)))
     return pisqrt, logdetP
 
 
-def split_pcg(mvm, pisqrt, B, iters, return_iters=False):
+class KronRoot(NamedTuple):
+    """Factored form of the orthonormalized Nystrom basis for a MASKED
+    Kronecker eigen-root,  Lp = M . ((x)_k U_k)[:, sel] . diag(rl),
+    Q = Lp Un lam_n^-1/2.  Products with Q / Q^T run as d per-axis mode
+    contractions plus a SORTED r-row gather/scatter of the Kronecker mode
+    tensor and one (r, r) gemm - never materializing the (G, r) matrix.
+    At reference scale (G ~ 1e6, r = 512) the dense basis costs ~2 GB of
+    HBM and each P^-1/2 apply is bound on re-reading it (~4.3 GB/apply);
+    the factored apply moves O(G b) instead (measured: see
+    benchmarks/BASELINE_MEASURED.md structured-engine roofline)."""
+    Us: Tuple[jax.Array, ...]   # per-dim pruned eigenvector tables (g_k, r_k)
+    mflat: jax.Array            # (r,) int32 flat mode index into the pruned
+    #                             tensor, SORTED ascending (gather/scatter
+    #                             sortedness promise)
+    rl: jax.Array               # (r,) sqrt(lam_top), in mflat order
+    C: jax.Array                # (r, r) = Un diag(lam_n^-1/2)
+    mask: jax.Array             # (G,) observed-cell mask
+
+
+def _kron_root_ops(q, batch_first=False):
+    """(QT, Qm) closures for a :class:`KronRoot`. Default layout: QT maps
+    (G, b) -> (r, b), Qm maps (r, b) -> (G, b). With ``batch_first``,
+    QT maps (b, G) -> (b, r) and Qm maps (b, r) -> (b, G) (see
+    :func:`batched_pcg` on why batch-first is the fast CG layout)."""
+    grid_shape = tuple(U.shape[0] for U in q.Us)
+    pruned = tuple(U.shape[1] for U in q.Us)
+    G = int(np.prod(grid_shape))
+    Gp = int(np.prod(pruned))
+    d = len(q.Us)
+
+    if batch_first:
+        UsT = tuple(U.T for U in q.Us)
+
+        def QT(v):                                    # (b, G) -> (b, r)
+            b = v.shape[0]
+            t = kron_mvm_bf(q.Us, (q.mask[None, :] * v).reshape(
+                (b,) + grid_shape))                   # applies U_k^T
+            sel = t.reshape(b, Gp).at[:, q.mflat].get(
+                indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+            return jnp.dot(sel * q.rl[None, :], q.C,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        def Qm(w):                                    # (b, r) -> (b, G)
+            b = w.shape[0]
+            c = q.rl[None, :] * jnp.dot(
+                w, q.C.T, precision=jax.lax.Precision.HIGHEST)
+            t = jnp.zeros((b, Gp), w.dtype).at[:, q.mflat].set(
+                c, indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+            t = kron_mvm_bf(UsT, t.reshape((b,) + pruned))  # applies U_k
+            return q.mask[None, :] * t.reshape(b, G)
+
+        return QT, Qm
+
+    def QT(v):                                        # (G, b) -> (r, b)
+        b = v.shape[1]
+        t = (q.mask[:, None] * v).reshape(grid_shape + (b,))
+        for k in range(d):
+            t = jnp.tensordot(q.Us[k], t, axes=([0], [k]))
+            t = jnp.moveaxis(t, 0, k)
+        sel = t.reshape(Gp, b).at[q.mflat].get(
+            indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        return jnp.dot(q.C.T, q.rl[:, None] * sel,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def Qm(w):                                        # (r, b) -> (G, b)
+        b = w.shape[1]
+        c = q.rl[:, None] * jnp.dot(q.C, w,
+                                    precision=jax.lax.Precision.HIGHEST)
+        t = jnp.zeros((Gp, b), w.dtype).at[q.mflat].set(
+            c, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        t = t.reshape(pruned + (b,))
+        for k in range(d):
+            t = jnp.tensordot(q.Us[k], t, axes=([1], [k]))
+            t = jnp.moveaxis(t, 0, k)
+        return q.mask[:, None] * t.reshape(G, b)
+
+    return QT, Qm
+
+
+def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank):
+    """Structured :func:`split_root` for the masked-grid operator: returns
+    (KronRoot, lam_n, Un, modes) with modes = (lam_top, Us, mdim) in the
+    SORTED-flat-mode order every returned piece shares. Noise-independent,
+    like split_root. The (G, r) root is materialized only transiently here
+    (for N = Lp^T Lp), never stored or re-read per CG iteration."""
+    lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, rank)
+    pruned = tuple(U.shape[1] for U in Us)
+    flat = mdim[0]
+    for k in range(1, len(pruned)):
+        flat = flat * pruned[k] + mdim[k]
+    order = jnp.argsort(flat)
+    mflat = flat[order].astype(jnp.int32)
+    lam_top = lam_top[order]
+    mdim = [m[order] for m in mdim]
+    sel = [Us[k][:, mdim[k]] for k in range(len(Us))]
+    Lp = grid_kr_rows(sel, lam_top, mask_flat)
+    N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGHEST)
+    lam_n, Un = jnp.linalg.eigh(jax.lax.optimization_barrier(N))
+    lam_n = jnp.maximum(lam_n, 0.0)
+    good = lam_n > 1e-6 * jnp.max(lam_n)
+    inv_root = jnp.where(
+        good, 1.0 / jnp.sqrt(jnp.maximum(lam_n, 1e-30)), 0.0)
+    lam_n = jnp.where(good, lam_n, 0.0)
+    q = KronRoot(Us=tuple(Us), mflat=mflat, rl=jnp.sqrt(lam_top),
+                 C=Un * inv_root[None, :], mask=mask_flat)
+    return q, lam_n, Un, (lam_top, Us, mdim)
+
+
+def split_pcg(mvm, pisqrt, B, iters, return_iters=False, vec_axis=0):
     """Split-preconditioned CG solve of A X = B: plain CG on
     At = P^-1/2 A P^-1/2 with X = P^-1/2 Xt mapped back at the end.
     Same outputs as :func:`batched_pcg` (the tridiagonals are the split
-    operator's Lanczos matrices - identical contract)."""
+    operator's Lanczos matrices - identical contract). ``vec_axis`` as in
+    :func:`batched_pcg`; mvm and pisqrt must share the layout."""
     Bt = pisqrt(B)
     At = lambda v: pisqrt(mvm(pisqrt(v)))
     out = batched_pcg(At, lambda r: r, Bt, iters,
-                      return_iters=return_iters)
+                      return_iters=return_iters, vec_axis=vec_axis)
     return (pisqrt(out[0]),) + tuple(out[1:])
 
 
-def batched_pcg(mvm, pinv, B, iters, return_iters=False):
+def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0):
     """Preconditioned conjugate gradients for A X = B, all columns at once.
+
+    ``vec_axis`` selects the layout: 0 means B is (n, b) with each solution
+    a COLUMN; 1 means B is (b, n) batch-first with each solution a ROW. Use
+    batch-first whenever the mvm tolerates it: TPU f32 arrays tile the
+    minormost dim to 128 lanes, so a (n, 9) CG state physically moves ~14x
+    its logical bytes through HBM on every vector op, while (9, n) only
+    pads the 8-sublane dim (~1.8x).
 
     Same frozen-column contract as :func:`batched_cg`; the recovered
     tridiagonals are the Lanczos matrices of the *split-preconditioned*
@@ -455,15 +614,20 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False):
     the ``cg_iters`` budget to measured convergence (benchmarks/
     ski_roofline.py).
     """
+    ax = vec_axis
+    if ax == 0:
+        ex = lambda s: s[None, :]      # per-column scalar -> broadcast
+    else:
+        ex = lambda s: s[:, None]
     X0 = jnp.zeros_like(B)
     R0 = B
     Z0 = pinv(R0)
     P0 = Z0
-    rz0 = jnp.sum(R0 * Z0, axis=0)
-    rs0 = jnp.sum(R0 * R0, axis=0)
+    rz0 = jnp.sum(R0 * Z0, axis=ax)
+    rs0 = jnp.sum(R0 * R0, axis=ax)
     eps = jnp.finfo(B.dtype).eps
     tol = jnp.maximum(rs0, 1e-30) * (100.0 * eps) ** 2
-    b = B.shape[1]
+    b = B.shape[1 - ax]
     # preallocated tridiag buffers; untouched tail rows stay the decoupled
     # identity block (t_diag = 1, t_off = 0) the SLQ contract requires
     Td0 = jnp.ones((iters, b), B.dtype)
@@ -484,18 +648,18 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False):
     def body(carry):
         k, X, R, Z, P, rz_old, alpha_prev, beta_prev, done, Td, To = carry
         AP = mvm(P)
-        denom = jnp.sum(P * AP, axis=0)
+        denom = jnp.sum(P * AP, axis=ax)
         live = jnp.logical_not(done)
         alpha_raw = rz_old / jnp.where(denom > 0, denom, 1.0)
         alpha = jnp.where(live & (denom > 0), alpha_raw, 0.0)
-        X = X + alpha[None, :] * P
-        R = R - alpha[None, :] * AP
+        X = X + ex(alpha) * P
+        R = R - ex(alpha) * AP
         Z = pinv(R)
-        rz_new = jnp.sum(R * Z, axis=0)
-        rs_new = jnp.sum(R * R, axis=0)
+        rz_new = jnp.sum(R * Z, axis=ax)
+        rs_new = jnp.sum(R * R, axis=ax)
         beta_raw = rz_new / jnp.where(rz_old > 0, rz_old, 1.0)
         beta = jnp.where(live, beta_raw, 0.0)
-        P = jnp.where(live[None, :], Z + beta[None, :] * P, P)
+        P = jnp.where(ex(live), Z + ex(beta) * P, P)
         safe_alpha = jnp.where(alpha > 0, alpha, 1.0)
         safe_alpha_prev = jnp.where(alpha_prev > 0, alpha_prev, 1.0)
         t_diag = jnp.where(
@@ -518,7 +682,7 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False):
     return X, t_diags, t_offs
 
 
-def batched_cg(mvm, B, iters):
+def batched_cg(mvm, B, iters, vec_axis=0):
     """Conjugate gradients for A X = B, all columns at once.
 
     Also returns the Lanczos tridiagonal coefficients recovered from the CG
@@ -531,7 +695,7 @@ def batched_cg(mvm, B, iters):
     """
     # identity preconditioner: shares the adaptive while_loop machinery of
     # batched_pcg (same per-iteration math, cap = ``iters``)
-    return batched_pcg(mvm, lambda r: r, B, iters)
+    return batched_pcg(mvm, lambda r: r, B, iters, vec_axis=vec_axis)
 
 
 def _slq_from_tridiag(t_diags, t_offs, probe_sqnorms):
@@ -598,10 +762,13 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
                   sorted_corners=sorted_corners), cg_iters, g0)
 
 
-def ski_mll_from_mvm(mvm, cg_iters, g0):
+def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0):
     """:func:`ski_mll` core over an arbitrary ``mvm(p, noise_pj, v)``
     (used by both the interpolation operator and the masked-grid operator;
-    same estimator contract as documented on ski_mll)."""
+    same estimator contract as documented on ski_mll). ``vec_axis`` as in
+    :func:`batched_pcg`: with 1, ``g0`` is (p, n) batch-first and the mvm
+    must take (b, n) blocks."""
+    bf = vec_axis == 1
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def core(p, noise_pj, yc, Q, lam_n):
@@ -609,10 +776,15 @@ def ski_mll_from_mvm(mvm, cg_iters, g0):
         return out
 
     def _fwd(p, noise_pj, yc, Q, lam_n):
-        pisqrt, logdetP = split_apply(Q, lam_n, noise_pj)
+        pisqrt, logdetP = split_apply(Q, lam_n, noise_pj,
+                                      vec_axis=vec_axis)
         At = lambda v: pisqrt(mvm(p, noise_pj, pisqrt(v)))
-        B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
-        X, t_diags, t_offs = batched_cg(At, B, cg_iters)
+        if bf:
+            B = jnp.concatenate([pisqrt(yc[None, :]), g0], axis=0)
+        else:
+            B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+        X, t_diags, t_offs = batched_cg(At, B, cg_iters,
+                                        vec_axis=vec_axis)
         # the sliced loop outputs are pinned AFTER slicing: on the TPU
         # backend, feeding a strided column slice of a loop output into the
         # differentiated mvm of the backward pass miscompiles the LOOP
@@ -620,11 +792,14 @@ def ski_mll_from_mvm(mvm, cg_iters, g0):
         # grid dims, value-only program bit-exact and finite). A barrier on
         # the whole X does NOT help; barriers on the slices do - the same
         # workaround family as ops.linalg.safe_cholesky.
-        Xa, Xs = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
+        if bf:
+            Xa, Xs = jax.lax.optimization_barrier((X[0], X[1:]))
+        else:
+            Xa, Xs = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
         alpha = pisqrt(Xa)                           # A^-1 yc
         solves = pisqrt(Xs)                          # A^-1 z_i
         w = jax.lax.optimization_barrier(pisqrt(g0))  # P^-1 z = P^-1/2 z~
-        sqnorms = jnp.sum(g0 * g0, axis=0)           # |z~|^2 (= n exactly)
+        sqnorms = jnp.sum(g0 * g0, axis=vec_axis)    # |z~|^2 (= n exactly)
         td, to = jax.lax.optimization_barrier(
             (t_diags[:, 1:], t_offs[:, 1:]))         # sliced: see above
         logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
@@ -634,7 +809,7 @@ def ski_mll_from_mvm(mvm, cg_iters, g0):
 
     def _bwd(res, g):
         p, noise_pj, alpha, solves, w, Q, lam_n = res
-        n_probes = solves.shape[1]
+        n_probes = solves.shape[1 - vec_axis]
 
         def surrogate(p_, noise_pj_):
             # d quad = -0.5 a^T (dA) a ; d logdet = tr(A^-1 dA)
@@ -648,8 +823,13 @@ def ski_mll_from_mvm(mvm, cg_iters, g0):
 
         gp, gn = jax.grad(surrogate, argnums=(0, 1))(p, noise_pj)
         gp = jax.tree_util.tree_map(lambda x: g * x, gp)
-        return (gp, g * gn, g * alpha, jnp.zeros_like(Q),
-                jnp.zeros_like(lam_n))
+        # Q may be a KronRoot pytree with integer leaves (mflat): integer
+        # primals take float0 cotangents
+        zq = jax.tree_util.tree_map(
+            lambda a: (jnp.zeros_like(a)
+                       if jnp.issubdtype(a.dtype, jnp.inexact)
+                       else np.zeros(a.shape, jax.dtypes.float0)), Q)
+        return (gp, g * gn, g * alpha, zq, jnp.zeros_like(lam_n))
 
     core.defvjp(_fwd, _bwd)
     return core
@@ -811,9 +991,26 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
 # --------------------------------------------------------------------------
 
 
-def make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat):
+def make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
+                         batch_first=False):
     """mvm(p, noise_pj, v) for the masked-grid operator above; v is (G,) or
-    (G, b). ``mask_flat`` (G,) is 1 at observed grid cells."""
+    (G, b) - or batch-first (b, G) with ``batch_first`` (the fast CG
+    layout, see :func:`batched_pcg`). ``mask_flat`` (G,) is 1 at observed
+    grid cells."""
+    if batch_first:
+        def mvm(p, noise_pj, v):
+            factors = grid_kernel_factors(kernel, p, grids)
+            squeeze = v.ndim == 1
+            if squeeze:
+                v = v[None, :]
+            b = v.shape[0]
+            vm = v * mask_flat[None, :]
+            # kernel factors are symmetric: kron_mvm_bf applies K_k exactly
+            t = kron_mvm_bf(factors, vm.reshape((b,) + tuple(grid_shape)))
+            out = mask_flat[None, :] * t.reshape(b, -1) + noise_pj * v
+            return out[0] if squeeze else out
+        return mvm
+
     def mvm(p, noise_pj, v):
         factors = grid_kernel_factors(kernel, p, grids)
         squeeze = v.ndim == 1
@@ -960,25 +1157,27 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
     c = _grid_sharder(mesh)
 
     def predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss):
-        mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat)
-        lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, precond_rank)
+        mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
+                                   batch_first=True)
+        # split solve with the FACTORED basis (f32-stable at reference
+        # scale, see split_root; no (G, r) matrix survives the build); the
+        # eigh of Lp^T Lp is shared with the Nystrom variance below.
+        # Batch-first: see batched_pcg on the TPU tiling economics.
+        Qs, lam_n, Un, (lam_top, Us, mdim) = mgrid_split_root(
+            kernel, p, grids, grid_shape, mask_flat, precond_rank)
         sel = [Us[k][:, mdim[k]] for k in range(len(grids))]
-        Lp = grid_kr_rows(sel, lam_top, mask_flat)
-        # split solve (f32-stable at reference scale, see split_root); the
-        # eigh of Lp^T Lp is shared with the Nystrom variance below
-        Qs, lam_n, Un = split_root(Lp)
-        pisqrt, _ = split_apply(Qs, lam_n, noise_pj)
+        pisqrt, _ = split_apply(Qs, lam_n, noise_pj, vec_axis=1)
         alpha, _, _ = split_pcg(
-            lambda v: mvm(p, noise_pj, v), pisqrt, yc_flat[:, None],
-            cg_iters)
-        am = (alpha[:, 0] * mask_flat).reshape(grid_shape)
+            lambda v: mvm(p, noise_pj, v), pisqrt, yc_flat[None, :],
+            cg_iters, vec_axis=1)
+        am = (alpha[0] * mask_flat).reshape(grid_shape)
         C_list = grid_cross_factors(kernel, p, grids, t_axes)
         # shard the mean's leading test mode only: sel_t[0] below must stay
         # replicated (it is the SEQUENTIAL lax.map axis of the variance)
         mean = modeprod([c(C_list[0], ("grid", None))] + C_list[1:],
                         am).reshape(-1)
 
-        Bmat = _nystrom_bmat(Lp, lam_top, noise_pj, eig=(lam_n, Un))
+        Bmat = _nystrom_bmat(None, lam_top, noise_pj, eig=(lam_n, Un))
         sel_t = [jnp.dot(C, s, precision=jax.lax.Precision.HIGHEST)
                  for C, s in zip(C_list, sel)]
         var = grid_nystrom_var(sel_t, Bmat, kss, shard=c if mesh else None)
