@@ -266,6 +266,13 @@ def bench_mgrid_1m():
                          iterations=200, learning_rate=0.1, verbose=0)
     mean_ex, sd_ex, _ = m_ex.run()
     dis = float(np.sqrt(np.mean((mean.ravel()[probe] - mean_ex) ** 2)))
+    # HARD gates, not just reporting: the round-3 Woodbury breakdown
+    # produced a plausible-looking rmse ~1.7x the data sd that only this
+    # comparison catches (measured healthy values: rmse 0.005, dis 0.008
+    # at data sd 0.20)
+    sd_data = float(np.nanstd(R))
+    assert rmse < 0.15 * sd_data, (rmse, sd_data)
+    assert dis < 0.15 * sd_data, (dis, sd_data)
     return {"metric": "mgrid_masked128x128x64_wall",
             "value": round(warm, 3), "unit": "s", "iterations": iters,
             "n_grid": int(np.prod(shape)), "n_obs": n_obs,

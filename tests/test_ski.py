@@ -726,3 +726,97 @@ def test_split_pcg_survives_extreme_conditioning():
     r = y[:, None] - mvm(Xs)
     rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(y * y)))
     assert rel < 1e-3, (rel, int(k))
+
+
+def _mgrid_setup(seed=0):
+    rng = np.random.RandomState(seed)
+    axes = [jnp.asarray(np.arange(12.0)), jnp.asarray(np.arange(10.0)),
+            jnp.asarray(np.arange(7.0))]
+    gshape = (12, 10, 7)
+    G = int(np.prod(gshape))
+    p = {"lengthscale": jnp.asarray([3.0, 2.5, 2.0]),
+         "variance": jnp.asarray(1.3)}
+    mask = jnp.asarray((rng.rand(G) < 0.6).astype(np.float32))
+    return rng, axes, gshape, G, p, mask
+
+
+def test_mgrid_split_root_matches_dense():
+    """The factored KronRoot basis (mode products + sorted mode
+    gather/scatter + r x r rotation, ski.mgrid_split_root) is the SAME
+    operator as the dense split_root of the materialized grid root: same
+    preconditioner spectrum, same P^-1/2 action, same exact logdet - the
+    (G, r) matrix is an implementation detail, not part of the math."""
+    rng, axes, gshape, G, p, mask = _mgrid_setup()
+    noise = jnp.asarray(0.05)
+    rank = 40
+
+    lam_top, Us, mdim = ski._kron_top_modes("RBF", p, axes, rank)
+    sel = [Us[k][:, mdim[k]] for k in range(3)]
+    Lp = ski.grid_kr_rows(sel, lam_top, mask)
+    Qd, lam_d, _ = ski.split_root(Lp)
+    pis_d, ld_d = ski.split_apply(Qd, lam_d, noise)
+
+    q, lam_s, Un, (lt_s, Us_s, mdim_s) = ski.mgrid_split_root(
+        "RBF", p, axes, gshape, mask, rank)
+    assert isinstance(q, ski.KronRoot)
+    pis_s, ld_s = ski.split_apply(q, lam_s, noise)
+
+    assert_allclose(np.sort(np.asarray(lam_s)), np.sort(np.asarray(lam_d)),
+                    rtol=1e-4, atol=1e-5)
+    assert_allclose(float(ld_s), float(ld_d), rtol=1e-6)
+    V = jnp.asarray(rng.randn(G, 3))
+    a, b = np.asarray(pis_d(V)), np.asarray(pis_s(V))
+    assert_allclose(b, a, rtol=1e-5, atol=1e-6 * np.abs(a).max())
+    # P^-1 action against a dense solve of the true P
+    P = np.asarray(Lp @ Lp.T) + float(noise) * np.eye(G)
+    PiV = np.asarray(pis_s(pis_s(V)))
+    assert_allclose(PiV, np.linalg.solve(P, np.asarray(V)),
+                    rtol=1e-4, atol=1e-6)
+
+
+def test_batch_first_layout_equivalence():
+    """vec_axis=1 (batch-first - the TPU-tiling-friendly CG layout) is
+    numerically the same algorithm as the column layout: same pisqrt
+    action, same masked-grid mvm, same solves, and the same MLL
+    value+gradient through the custom-VJP core."""
+    rng, axes, gshape, G, p, mask = _mgrid_setup()
+    noise = jnp.asarray(0.05)
+
+    q, lam_s, _, _ = ski.mgrid_split_root("RBF", p, axes, gshape, mask, 40)
+    pis0, ld0 = ski.split_apply(q, lam_s, noise)
+    pis1, ld1 = ski.split_apply(q, lam_s, noise, vec_axis=1)
+    V = jnp.asarray(rng.randn(G, 3))
+    a = np.asarray(pis0(V))
+    assert_allclose(np.asarray(pis1(V.T)).T, a,
+                    rtol=1e-5, atol=1e-6 * np.abs(a).max())
+    assert float(ld0) == float(ld1)
+
+    mvm0 = ski.make_masked_grid_mvm("RBF", axes, gshape, mask)
+    mvm1 = ski.make_masked_grid_mvm("RBF", axes, gshape, mask,
+                                    batch_first=True)
+    m0 = np.asarray(mvm0(p, noise, V))
+    assert_allclose(np.asarray(mvm1(p, noise, V.T)).T, m0,
+                    rtol=1e-6, atol=1e-7 * np.abs(m0).max())
+
+    s0 = ski.split_pcg(lambda v: mvm0(p, noise, v), pis0, V, G)[0]
+    s1 = ski.split_pcg(lambda v: mvm1(p, noise, v), pis1, V.T, G,
+                       vec_axis=1)[0]
+    assert_allclose(np.asarray(s1).T, np.asarray(s0), rtol=1e-4,
+                    atol=1e-5 * np.abs(np.asarray(s0)).max())
+
+    g0c = jnp.asarray(rng.choice([-1.0, 1.0], size=(G, 8)))
+    y = jnp.asarray(rng.randn(G) * np.asarray(mask))
+    core0 = ski.ski_mll_from_mvm(mvm0, 60, g0c)
+    core1 = ski.ski_mll_from_mvm(mvm1, 60, jnp.asarray(np.asarray(g0c).T),
+                                 vec_axis=1)
+    v0, gr0 = jax.jit(jax.value_and_grad(
+        lambda pp, nn: core0(pp, nn, y, q, lam_s),
+        argnums=(0, 1)))(p, noise)
+    v1, gr1 = jax.jit(jax.value_and_grad(
+        lambda pp, nn: core1(pp, nn, y, q, lam_s),
+        argnums=(0, 1)))(p, noise)
+    assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(gr0),
+                      jax.tree_util.tree_leaves(gr1)):
+        assert_allclose(np.asarray(b_), np.asarray(a_), rtol=1e-4,
+                        atol=1e-6 * max(1.0, float(np.abs(a_).max())))
