@@ -118,13 +118,21 @@ def cartesian_axes_from_points(X_flat, dims, rtol=1e-6):
 # --------------------------------------------------------------------------
 
 def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
-          kernel, grid_shape, cg_iters):
+          kernel, grid_shape, cg_iters, mesh=None):
     # batch-first layout throughout (g0 is (n_probes, G)): the CG state
     # never materializes a lane-padded (G, small) block - see
     # ski.batched_pcg on the TPU tiling economics
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
                                    mask_flat, batch_first=True)
-    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1)
+    constrain = None
+    if mesh is not None:
+        # shard the G-sized CG state over 'grid': GSPMD partitions the
+        # Kronecker mode products and inserts the per-iteration reduce
+        # for the sharded-axis contraction itself (ski.ski_mll_from_mvm)
+        shard = ski._grid_sharder(mesh)
+        constrain = lambda x: shard(x, (None, "grid"))
+    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1,
+                                constrain=constrain)
     p = _constrain(u, bounds)
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
@@ -159,13 +167,13 @@ def _build_precond(u, axes, mask_flat, bounds, *, kernel, grid_shape, rank):
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "grid_shape", "cg_iters", "iterations"))
+    "kernel", "grid_shape", "cg_iters", "iterations", "mesh"))
 def _train_seg(u0, opt_state, Qp, lam_n, axes, mask_flat, g0, y_flat,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
-               iterations):
+               iterations, mesh=None):
     opt = optax.adam(learning_rate=lr)
     lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
-                 cg_iters=cg_iters)
+                 cg_iters=cg_iters, mesh=mesh)
 
     def step(carry, _):
         u, opt_state = carry
@@ -253,9 +261,10 @@ class MaskedGridEngine:
 
     def __init__(self, kernel, axes, mask_grid, y_grid, dtype, *,
                  cg_iters=64, n_probes=8, precond_rank=512,
-                 segment=10, seed=0):
+                 segment=10, seed=0, mesh=None):
         self.kernel = kernel
         self.dtype = dtype
+        self.mesh = mesh
         # Dodge a TPU-backend miscompile: with any grid dim a multiple of
         # 128, jitting value_and_grad of the masked-grid MLL corrupts the
         # CG while_loop output (value-only programs are finite and
@@ -317,7 +326,7 @@ class MaskedGridEngine:
                 u, opt_state, Qp, lam_n, self._axes, self._mask,
                 self._g0, self._y, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
-                cg_iters=self.cg_iters, iterations=s)
+                cg_iters=self.cg_iters, iterations=s, mesh=self.mesh)
             trajs.append(traj)
             remaining -= s
         full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])

@@ -199,7 +199,7 @@ class skreconstructor:
                         cg_iters=opts["cg_iterations"],
                         n_probes=opts["n_probes"],
                         precond_rank=opts["precond_rank"],
-                        seed=opts["seed"])
+                        seed=opts["seed"], mesh=self._mesh)
                     if self.verbose == 2:
                         print("Masked-lattice grid:", np.shape(y))
                 else:

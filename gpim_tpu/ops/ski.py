@@ -762,13 +762,27 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
                   sorted_corners=sorted_corners), cg_iters, g0)
 
 
-def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0):
+def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
     """:func:`ski_mll` core over an arbitrary ``mvm(p, noise_pj, v)``
     (used by both the interpolation operator and the masked-grid operator;
     same estimator contract as documented on ski_mll). ``vec_axis`` as in
     :func:`batched_pcg`: with 1, ``g0`` is (p, n) batch-first and the mvm
-    must take (b, n) blocks."""
+    must take (b, n) blocks.
+
+    ``constrain`` optionally pins the sharding of every 2D CG-state block
+    (the RHS and each mvm output). Under a mesh, GSPMD then partitions the
+    n-sized CG state and the operator's contractions across chips and
+    inserts the collectives itself (for the Kronecker mvm: the leading
+    grid axis shards, the contraction over it becomes one reduce per CG
+    iteration) - pass e.g. ``lambda x: with_sharding_constraint(x,
+    NamedSharding(mesh, P(None, 'grid')))`` for batch-first blocks."""
     bf = vec_axis == 1
+    if constrain is not None:
+        raw_mvm = mvm
+
+        def mvm(p, noise_pj, v):                      # noqa: F811
+            out = raw_mvm(p, noise_pj, v)
+            return constrain(out) if out.ndim == 2 else out
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def core(p, noise_pj, yc, Q, lam_n):
@@ -783,6 +797,8 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0):
             B = jnp.concatenate([pisqrt(yc[None, :]), g0], axis=0)
         else:
             B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+        if constrain is not None:
+            B = constrain(B)
         X, t_diags, t_offs = batched_cg(At, B, cg_iters,
                                         vec_axis=vec_axis)
         # the sliced loop outputs are pinned AFTER slicing: on the TPU

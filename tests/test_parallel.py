@@ -189,8 +189,11 @@ def test_skreconstructor_mesh_matches_unsharded():
 
 
 def test_skreconstructor_structured_mesh_matches_unsharded():
-    """Masked-lattice (mgrid) and generic off-lattice SKI prediction shard
-    test rows over 'grid' and must match the single-device numbers."""
+    """Masked-lattice (mgrid) and generic off-lattice SKI paths under a
+    mesh must match the single-device numbers. For the mgrid engine this
+    covers sharded TRAINING too: the G-sized CG state shards over 'grid'
+    (mgrid_model._loss), so the whole hyperparameter trajectory - not just
+    the prediction - must agree with the replicated program."""
     from gpim_tpu import skreconstructor
     X, Rn, Xf = _toy_recon_data()
     for lattice in (True, False):
@@ -200,10 +203,15 @@ def test_skreconstructor_structured_mesh_matches_unsharded():
         r2 = skreconstructor(X, Rn, Xf, mesh=8, **kw)
         if lattice:
             assert r1._mgrid_engine is not None
+            assert r2._mgrid_engine is not None
+            assert r2._mgrid_engine.mesh is not None
         else:
             assert r1._ski_engine is not None
-        m1, s1, _ = r1.run()
-        m2, s2, _ = r2.run()
+        m1, s1, h1 = r1.run()
+        m2, s2, h2 = r2.run()
+        assert_allclose(np.asarray(h1["lengthscale"]),
+                        np.asarray(h2["lengthscale"]), rtol=1e-5,
+                        atol=1e-6)
         assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
         assert_allclose(s1, s2, rtol=1e-4, atol=1e-6)
 
