@@ -308,7 +308,7 @@ def kron_eig_root(kernel, p, grids, grid_shape, i0, w0, rank,
     return out
 
 
-def _kron_top_modes(kernel, p, grids, rank):
+def _kron_top_modes(kernel, p, grids, rank, dim_cap=None):
     """Per-dim eigh + top-``rank`` Kronecker modes (shared selection logic
     so train- and test-side roots always pick the same eigenspace).
 
@@ -319,12 +319,24 @@ def _kron_top_modes(kernel, p, grids, rank):
     dominated by >= rank larger products, so pruning is lossless and keeps
     the materialized product spectrum at prod_k min(g_k, rank) entries
     instead of G.
+
+    ``dim_cap`` optionally tightens the per-dim pruning to min(g_k, rank,
+    dim_cap). Unlike the rank-pruning above this is a HEURISTIC: with
+    roughly balanced per-dim spectral decay the top-``rank`` products
+    live in a small per-dim rectangle (measured at the 1M headline
+    config: every top-512 mode of a 132x132x64 grid has per-dim index
+    < 32, so cap 32 leaves the selection bit-identical), and the capped
+    tables shrink every mode-product transform that consumes them (the
+    per-CG-iteration P^-1/2 applies went 19.9 -> 12.7 ms at G ~ 1.1M).
+    A too-small cap cannot break correctness - every estimator is exact
+    for ANY SPD preconditioner - it can only cost CG iterations.
     """
     factors = grid_kernel_factors(kernel, p, grids)
+    cap = rank if dim_cap is None else min(rank, int(dim_cap))
     lams, Us = [], []
     for f in factors:
         lam, U = jnp.linalg.eigh(f)                  # ascending
-        r_k = int(min(f.shape[0], rank))
+        r_k = int(min(f.shape[0], cap))
         lams.append(lam[::-1][:r_k])                 # descending, pruned
         Us.append(U[:, ::-1][:, :r_k])
     lam_prod = lams[0]
@@ -556,7 +568,13 @@ def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank):
     SORTED-flat-mode order every returned piece shares. Noise-independent,
     like split_root. The (G, r) root is materialized only transiently here
     (for N = Lp^T Lp), never stored or re-read per CG iteration."""
-    lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, rank)
+    d = len(grids)
+    # per-dim candidate cap (see _kron_top_modes): ~4 rank^(1/d) keeps the
+    # top-rank selection intact under balanced decay while shrinking every
+    # transform the KronRoot apply runs
+    dim_cap = max(16, int(np.ceil(4.0 * rank ** (1.0 / max(d, 1)))))
+    lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, rank,
+                                        dim_cap=dim_cap)
     pruned = tuple(U.shape[1] for U in Us)
     flat = mdim[0]
     for k in range(1, len(pruned)):
