@@ -260,7 +260,7 @@ class MaskedGridEngine:
     shared across instances of the same shape."""
 
     def __init__(self, kernel, axes, mask_grid, y_grid, dtype, *,
-                 cg_iters=64, n_probes=8, precond_rank=512,
+                 cg_iters=64, n_probes=8, precond_rank=None,
                  segment=10, seed=0, mesh=None):
         self.kernel = kernel
         self.dtype = dtype
@@ -295,6 +295,14 @@ class MaskedGridEngine:
             np.nan_to_num(np.asarray(y_grid, dtype)).reshape(-1))
         self.n_eff = int(mask_flat.sum())
         self.cg_iters = int(min(cg_iters, G))
+        if precond_rank is None:
+            # scale-adaptive default: with the factored KronRoot apply the
+            # per-CG-iteration cost is nearly rank-independent, so at
+            # reference scale a bigger eigenspace is a straight win
+            # (measured at G ~ 1.1M: 83 -> 59 realized iters for a 125 ms
+            # once-per-segment rebuild - BASELINE_MEASURED.md); small grids
+            # keep 512 (their solves converge in a handful of iterations)
+            precond_rank = 1024 if G >= 500_000 else 512
         self.precond_rank = int(min(precond_rank, G))
         self.segment = int(segment)
         rng = np.random.default_rng(seed)

@@ -29,10 +29,11 @@ TPU-native design notes:
   Xtest was not given at construction (skgpr.py:118-120 crash), and the
   ``max_root`` kwarg is not silently dropped (skgpr.py:305-306).
 - SKI predictive variance: with the Kronecker-eigen preconditioner enabled
-  (``precond_rank`` > 0, the default) the variance reuses that eigenroot in
-  closed form (rank = precond_rank = 512 >= maxroot's default 100 - higher
-  quality AND no sequential Lanczos chain); ``maxroot`` caps the Lanczos
-  fallback used when preconditioning is disabled.
+  (``precond_rank`` > 0, the default: 512, or 1024 on masked lattices of
+  >= 500k cells) the variance reuses that eigenroot in closed form
+  (rank >= maxroot's default 100 - higher quality AND no sequential
+  Lanczos chain); ``maxroot`` caps the Lanczos fallback used when
+  preconditioning is disabled.
 """
 
 import time
@@ -150,7 +151,10 @@ class skreconstructor:
             "lattice": bool(kwargs.get("lattice", True)),
             "cg_iterations": int(kwargs.get("cg_iterations", 64)),
             "n_probes": int(kwargs.get("n_probes", 8)),
-            "precond_rank": int(kwargs.get("precond_rank", 512)),
+            # None = scale-adaptive (MaskedGridEngine picks 1024 at >= 500k
+            # grid cells: measured net win once the factored apply made
+            # rank nearly free per CG iteration, BASELINE_MEASURED.md)
+            "precond_rank": kwargs.get("precond_rank"),
             "seed": seed,
         }
         self._build_engines(X, y, X_np, y_np)

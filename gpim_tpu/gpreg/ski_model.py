@@ -129,7 +129,7 @@ class SKIEngine:
     static per engine instance); the compiled programs are shared."""
 
     def __init__(self, kernel, X_pad, mask, grids, *,
-                 cg_iters=64, n_probes=8, rank=100, precond_rank=512,
+                 cg_iters=64, n_probes=8, rank=100, precond_rank=None,
                  segment=10, seed=0):
         self.kernel = kernel
         self.grids_np = grids
@@ -157,6 +157,11 @@ class SKIEngine:
         self.rank = int(min(rank, X_pad.shape[0]))
         n_pad = X_pad.shape[0]
         G = int(np.prod(self.grid_shape))
+        if precond_rank is None:
+            # the off-lattice basis is DENSE (n_pad, r) - unlike the
+            # masked-grid engine's factored form its apply cost scales
+            # with the rank, so the default stays at 512
+            precond_rank = 512
         self.precond_rank = int(min(precond_rank, n_pad, G))
         self.segment = int(segment)
         rng = np.random.default_rng(seed)
