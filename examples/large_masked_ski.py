@@ -12,6 +12,10 @@ Kronecker-eigen preconditioner, and stochastic-Lanczos-quadrature logdet
 gradients.
 
 Run:  python examples/large_masked_ski.py
+      python examples/large_masked_ski.py --xl   # reference scale:
+          a 1,048,576-voxel 128x128x64 cube (the regime of the
+          reference's headline 128x128 BEPFM map), ~15 s warm on one
+          TPU v5e core
 (first TPU compile is slow; re-runs are warm)
 """
 
@@ -46,7 +50,8 @@ def make_cube(shape=(64, 64, 32), missing=0.7, seed=2):
 
 
 def main():
-    truth, R = make_cube()
+    shape = (128, 128, 64) if "--xl" in sys.argv else (64, 64, 32)
+    truth, R = make_cube(shape=shape)
     X = utils.get_sparse_grid(R)
     Xfull = utils.get_full_grid(R)
 
