@@ -446,6 +446,34 @@ class skreconstructor:
         mean, sd = self.predict()
         return mean, sd, self.hyperparams
 
+    def save_model(self, filename):
+        """Persist trained hyperparameters (unconstrained pytree + bounds)
+        to an .npz; restore with load_model on a compatibly-constructed
+        skreconstructor (same kernel; the structured engines rebuild from
+        the new data, so a loaded model continues warm on any dataset -
+        same contract as reconstructor.save_model)."""
+        flat = {("u_" + k): np.asarray(v) for k, v in self.u.items()}
+        flat.update({("b_" + k): np.asarray(v)
+                     for k, v in self._bounds_np.items()})
+        flat["kernel"] = np.asarray(self.kernel_type)
+        np.savez(filename, **flat)
+
+    def load_model(self, filename):
+        """Restore hyperparameters saved by save_model."""
+        data = np.load(filename if str(filename).endswith(".npz")
+                       else str(filename) + ".npz", allow_pickle=False)
+        if str(data["kernel"]) != self.kernel_type:
+            raise ValueError(
+                "checkpoint was written by a different model configuration")
+        u = {k[2:]: jnp.asarray(v, self.dtype) for k, v in data.items()
+             if k.startswith("u_")}
+        if set(u) != set(self.u):
+            raise ValueError(
+                "checkpoint was written by a different model configuration")
+        self.u = u
+        self._bounds_np = {k[2:]: np.asarray(v, self.dtype)
+                           for k, v in data.items() if k.startswith("b_")}
+
     def step(self, acquisition_function=None,
              batch_size=100, batch_update=False,
              lscale=None, **kwargs):

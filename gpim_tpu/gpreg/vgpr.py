@@ -322,3 +322,33 @@ class vreconstructor:
         self.train()
         mean, sd = self.predict()
         return mean, sd, self.hyperparams
+
+    def save_model(self, filename):
+        """Persist trained hyperparameters (unconstrained pytree + bounds)
+        to an .npz; restore with load_model on a compatibly-constructed
+        vreconstructor (same kernel / independent mode / task count -
+        same contract as reconstructor.save_model)."""
+        flat = {("u_" + k): np.asarray(v) for k, v in self.u.items()}
+        flat.update({("b_" + k): np.asarray(v)
+                     for k, v in self._bounds_np.items()})
+        flat["kernel"] = np.asarray(self.kernel_type)
+        flat["independent"] = np.asarray(bool(self.independent))
+        np.savez(filename, **flat)
+
+    def load_model(self, filename):
+        """Restore hyperparameters saved by save_model."""
+        data = np.load(filename if str(filename).endswith(".npz")
+                       else str(filename) + ".npz", allow_pickle=False)
+        if (str(data["kernel"]) != self.kernel_type
+                or bool(data["independent"]) != bool(self.independent)):
+            raise ValueError(
+                "checkpoint was written by a different model configuration")
+        u = {k[2:]: jnp.asarray(v, self.dtype) for k, v in data.items()
+             if k.startswith("u_")}
+        if set(u) != set(self.u) or any(
+                u[k].shape != jnp.shape(self.u[k]) for k in u):
+            raise ValueError(
+                "checkpoint was written by a different model configuration")
+        self.u = u
+        self._bounds_np = {k[2:]: np.asarray(v, self.dtype)
+                           for k, v in data.items() if k.startswith("b_")}
