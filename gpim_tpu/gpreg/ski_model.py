@@ -188,8 +188,12 @@ class SKIEngine:
         opt_state = optax.adam(1.0).init(u0)   # adam state is lr-independent
         trajs = []
         remaining = int(iterations)
+        # rebuild ramp: see MaskedGridEngine.train (a stale basis is most
+        # expensive in the first Adam steps)
+        ramp = 2
         while remaining > 0:
-            s = min(self.segment, remaining)
+            s = min(self.segment, remaining, ramp)
+            ramp = min(self.segment, ramp * 2)
             Qp, lam_n = _build_precond(
                 u, self._grids, self._i0, self._w0, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
