@@ -269,10 +269,14 @@ def bench_mgrid_1m():
     # HARD gates, not just reporting: the round-3 Woodbury breakdown
     # produced a plausible-looking rmse ~1.7x the data sd that only this
     # comparison catches (measured healthy values: rmse 0.005, dis 0.008
-    # at data sd 0.20)
+    # at data sd 0.20). Raised errors, NOT assert statements - python -O
+    # strips asserts, silently re-admitting the failure these gates exist
+    # to catch.
     sd_data = float(np.nanstd(R))
-    assert rmse < 0.15 * sd_data, (rmse, sd_data)
-    assert dis < 0.15 * sd_data, (dis, sd_data)
+    if rmse >= 0.15 * sd_data or dis >= 0.15 * sd_data:
+        raise RuntimeError(
+            "mgrid 1M quality gate failed: rmse=%.4f xcheck=%.4f at data "
+            "sd %.4f" % (rmse, dis, sd_data))
     return {"metric": "mgrid_masked128x128x64_wall",
             "value": round(warm, 3), "unit": "s", "iterations": iters,
             "n_grid": int(np.prod(shape)), "n_obs": n_obs,

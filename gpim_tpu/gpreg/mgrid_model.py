@@ -20,9 +20,12 @@ ops/ski.py interpolation engine (SKIEngine) remains the off-lattice path.
 Capability match: reference skgpr.py:436-440 (GridInterpolationKernel on
 masked 2D-4D grids) at its headline 128x128-image scale and beyond.
 
-Training mirrors gpreg/ski_model.py: segmented Adam, Kronecker-eigen
-preconditioned CG + SLQ through the shared ski.ski_mll_from_mvm custom-VJP
-core; the preconditioner root is materialized on the grid (grid_kr_rows).
+Training mirrors gpreg/ski_model.py: segmented Adam, split-preconditioned
+CG + SLQ through the shared ski.ski_mll_from_mvm custom-VJP core. The
+preconditioner basis is the FACTORED ski.KronRoot (per-dim eigen tables +
+sorted mode indices + an r x r rotation): no (G, r) matrix is stored or
+re-read per CG iteration - the dense root exists only transiently inside
+the once-per-segment rebuild (ski.mgrid_split_root).
 """
 
 from functools import partial
@@ -221,8 +224,12 @@ def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
     noise_pj = p["noise"] + jitter
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
                                    mask_flat, batch_first=True)
+    # dim_cap=None: prediction variance reuses this eigenspace as a
+    # fixed-rank approximation, so mode selection stays UNCAPPED here
+    # (the cap is a training-only economy - see ski.mgrid_split_root)
     Qs, lam_n, Un, (lam_top, Us, mdim) = ski.mgrid_split_root(
-        kernel, kp, list(axes), grid_shape, mask_flat, precond_rank)
+        kernel, kp, list(axes), grid_shape, mask_flat, precond_rank,
+        dim_cap=None)
     sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
     pisqrt, _ = ski.split_apply(Qs, lam_n, noise_pj, vec_axis=1)
     alpha, _, _ = ski.split_pcg(

@@ -361,9 +361,9 @@ class skreconstructor:
             if eng is not None and eng.precond_rank > 0:
                 # on the default (preconditioned) path the variance root
                 # is the Kronecker eigen-root of rank precond_rank, so an
-                # explicit max_root must CAP it to stay meaningful (it
-                # can only cap: the probe bases were drawn at the
-                # construction-time rank)
+                # explicit max_root must CAP it to stay meaningful
+                # (reference semantics: maxroot bounds the root
+                # decomposition size, it never raises it)
                 capped = int(min(self.maxroot, eng.precond_rank))
                 if self.verbose and capped < eng.precond_rank:
                     print("max_root=%d caps the Nystrom/preconditioner "
@@ -467,7 +467,8 @@ class skreconstructor:
                 "checkpoint was written by a different model configuration")
         u = {k[2:]: jnp.asarray(v, self.dtype) for k, v in data.items()
              if k.startswith("u_")}
-        if set(u) != set(self.u):
+        if set(u) != set(self.u) or any(
+                u[k].shape != jnp.shape(self.u[k]) for k in u):
             raise ValueError(
                 "checkpoint was written by a different model configuration")
         self.u = u

@@ -410,6 +410,23 @@ def make_preconditioner(L, noise_pj, LtL=None):
 # noise I + L^T L inside every loss evaluation).
 
 
+def _orth_eig(N):
+    """Shared eigendecomposition + pruning of a Nystrom core N = Lp^T Lp:
+    returns (lam_n clamped/pruned, Un, inv_root with pruned columns
+    zeroed). The operand is pinned like ops.linalg.safe_cholesky (TPU
+    whole-graph fusion miscompile family); the 1e-6-relative prune drops
+    numerically-null directions so the orthonormalized basis stays
+    well-scaled. Used by split_root, mgrid_split_root and _nystrom_bmat -
+    ONE place to change the threshold or the barrier workaround."""
+    lam_n, Un = jnp.linalg.eigh(jax.lax.optimization_barrier(N))
+    lam_n = jnp.maximum(lam_n, 0.0)
+    good = lam_n > 1e-6 * jnp.max(lam_n)
+    inv_root = jnp.where(
+        good, 1.0 / jnp.sqrt(jnp.maximum(lam_n, 1e-30)), 0.0)
+    lam_n = jnp.where(good, lam_n, 0.0)
+    return lam_n, Un, inv_root
+
+
 def split_root(Lp, LtL=None):
     """Orthonormal Nystrom basis of the preconditioner root: returns
     (Q, lam_n, Un) with Q^T Q = I (up to pruned null columns) and
@@ -421,14 +438,7 @@ def split_root(Lp, LtL=None):
         return Lp, z, jnp.zeros((0, 0), Lp.dtype)
     if LtL is None:
         LtL = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGHEST)
-    # operand pinned like ops.linalg.safe_cholesky (TPU whole-graph fusion
-    # miscompile family)
-    lam_n, Un = jnp.linalg.eigh(jax.lax.optimization_barrier(LtL))
-    lam_n = jnp.maximum(lam_n, 0.0)
-    good = lam_n > 1e-6 * jnp.max(lam_n)
-    inv_root = jnp.where(
-        good, 1.0 / jnp.sqrt(jnp.maximum(lam_n, 1e-30)), 0.0)
-    lam_n = jnp.where(good, lam_n, 0.0)
+    lam_n, Un, inv_root = _orth_eig(LtL)
     Q = jnp.dot(Lp, Un * inv_root[None, :],
                 precision=jax.lax.Precision.HIGHEST)
     return Q, lam_n, Un
@@ -562,17 +572,24 @@ def _kron_root_ops(q, batch_first=False):
     return QT, Qm
 
 
-def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank):
+def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank,
+                     dim_cap="auto"):
     """Structured :func:`split_root` for the masked-grid operator: returns
     (KronRoot, lam_n, Un, modes) with modes = (lam_top, Us, mdim) in the
     SORTED-flat-mode order every returned piece shares. Noise-independent,
     like split_root. The (G, r) root is materialized only transiently here
-    (for N = Lp^T Lp), never stored or re-read per CG iteration."""
+    (for N = Lp^T Lp), never stored or re-read per CG iteration.
+
+    ``dim_cap``: "auto" applies the ~4 rank^(1/d) per-dim candidate cap
+    (see _kron_top_modes) - right for the TRAINING preconditioner, where a
+    cap can only cost CG iterations. Pass None for UNCAPPED selection:
+    prediction paths must, because their Nystrom variance reuses this
+    eigenspace as a fixed-rank approximation with no CG backstop, and
+    under strongly anisotropic lengthscales the true top modes can live
+    outside the capped rectangle."""
     d = len(grids)
-    # per-dim candidate cap (see _kron_top_modes): ~4 rank^(1/d) keeps the
-    # top-rank selection intact under balanced decay while shrinking every
-    # transform the KronRoot apply runs
-    dim_cap = max(16, int(np.ceil(4.0 * rank ** (1.0 / max(d, 1)))))
+    if dim_cap == "auto":
+        dim_cap = max(16, int(np.ceil(4.0 * rank ** (1.0 / max(d, 1)))))
     lam_top, Us, mdim = _kron_top_modes(kernel, p, grids, rank,
                                         dim_cap=dim_cap)
     pruned = tuple(U.shape[1] for U in Us)
@@ -586,12 +603,7 @@ def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank):
     sel = [Us[k][:, mdim[k]] for k in range(len(Us))]
     Lp = grid_kr_rows(sel, lam_top, mask_flat)
     N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGHEST)
-    lam_n, Un = jnp.linalg.eigh(jax.lax.optimization_barrier(N))
-    lam_n = jnp.maximum(lam_n, 0.0)
-    good = lam_n > 1e-6 * jnp.max(lam_n)
-    inv_root = jnp.where(
-        good, 1.0 / jnp.sqrt(jnp.maximum(lam_n, 1e-30)), 0.0)
-    lam_n = jnp.where(good, lam_n, 0.0)
+    lam_n, Un, inv_root = _orth_eig(N)
     q = KronRoot(Us=tuple(Us), mflat=mflat, rl=jnp.sqrt(lam_top),
                  C=Un * inv_root[None, :], mask=mask_flat)
     return q, lam_n, Un, (lam_top, Us, mdim)
@@ -1161,8 +1173,7 @@ def _nystrom_bmat(Lp, lam_top, noise_pj, eig=None):
         lam_n, Un = eig
     else:
         N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGH)
-        lam_n, Un = jnp.linalg.eigh(N)
-        lam_n = jnp.maximum(lam_n, 0.0)
+        lam_n, Un, _ = _orth_eig(N)
     scale = jnp.sqrt(lam_n / (lam_n + noise_pj))
     inv_root = 1.0 / jnp.sqrt(
         jnp.maximum(lam_top, 1e-12 * jnp.max(lam_top)))
@@ -1197,8 +1208,12 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
         # scale, see split_root; no (G, r) matrix survives the build); the
         # eigh of Lp^T Lp is shared with the Nystrom variance below.
         # Batch-first: see batched_pcg on the TPU tiling economics.
+        # dim_cap=None: the variance is a fixed-rank approximation on this
+        # eigenspace, so prediction uses UNCAPPED mode selection (the cap
+        # is a training-only economy - see mgrid_split_root).
         Qs, lam_n, Un, (lam_top, Us, mdim) = mgrid_split_root(
-            kernel, p, grids, grid_shape, mask_flat, precond_rank)
+            kernel, p, grids, grid_shape, mask_flat, precond_rank,
+            dim_cap=None)
         sel = [Us[k][:, mdim[k]] for k in range(len(grids))]
         pisqrt, _ = split_apply(Qs, lam_n, noise_pj, vec_axis=1)
         alpha, _, _ = split_pcg(
