@@ -849,3 +849,23 @@ def test_masked_grid_engine_4d_end_to_end():
     assert np.isfinite(mean).all() and np.isfinite(sd).all()
     rmse = float(np.sqrt(np.mean((mean.reshape(shape) - truth) ** 2)))
     assert rmse < 0.5 * float(np.nanstd(R)), rmse
+
+
+def test_mgrid_split_root_dim_cap_plumbs_through():
+    """dim_cap=None (the prediction-path setting) reproduces the dense
+    uncapped selection; an artificially tiny explicit cap produces a
+    STRICTLY worse eigenspace (less captured spectrum mass) - i.e. the
+    knob really restricts the candidate rectangle, which is why predict
+    paths pass None (ski.mgrid_split_root docstring)."""
+    rng, axes, gshape, G, p, mask = _mgrid_setup()
+    # anisotropic lengthscales: slow per-dim decay along dim 0
+    p = {"lengthscale": jnp.asarray([0.6, 3.0, 2.5]),
+         "variance": jnp.asarray(1.3)}
+    rank = 24
+    _, lam_none, _, (lt_none, _, _) = ski.mgrid_split_root(
+        "RBF", p, axes, gshape, mask, rank, dim_cap=None)
+    _, lam_tiny, _, (lt_tiny, _, _) = ski.mgrid_split_root(
+        "RBF", p, axes, gshape, mask, rank, dim_cap=4)
+    # same rank, strictly less captured kernel-spectrum mass under the cap
+    assert lt_tiny.shape == lt_none.shape
+    assert float(jnp.sum(lt_tiny)) < 0.999 * float(jnp.sum(lt_none))
