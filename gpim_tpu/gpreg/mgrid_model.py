@@ -222,21 +222,9 @@ def _predict_points(u, axes, mask_flat, y_flat, Xt_chunks, bounds, jitter, *,
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
-    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
-                                   mask_flat, batch_first=True)
-    # dim_cap=None: prediction variance reuses this eigenspace as a
-    # fixed-rank approximation, so mode selection stays UNCAPPED here
-    # (the cap is a training-only economy - see ski.mgrid_split_root)
-    Qs, lam_n, Un, (lam_top, Us, mdim) = ski.mgrid_split_root(
+    am, Bmat, sel = ski.mgrid_solve_core(
         kernel, kp, list(axes), grid_shape, mask_flat, precond_rank,
-        dim_cap=None)
-    sel = [Us[k][:, mdim[k]] for k in range(len(axes))]
-    pisqrt, _ = ski.split_apply(Qs, lam_n, noise_pj, vec_axis=1)
-    alpha, _, _ = ski.split_pcg(
-        lambda v: mvm(kp, noise_pj, v), pisqrt, yc[None, :], cg_iters,
-        vec_axis=1)
-    am = (alpha[0] * mask_flat).reshape(grid_shape)
-    Bmat = ski._nystrom_bmat(None, lam_top, noise_pj, eig=(lam_n, Un))
+        cg_iters, noise_pj, yc)
     d = len(axes)
 
     def one(xc):
@@ -360,7 +348,11 @@ class MaskedGridEngine:
     def predict(self, u, bounds, jitter, Xtest_clean, fulldims, mesh=None):
         """Cartesian test grids run the fused mode-product path; scattered
         test points fall back to corner gathers (once per predict). With a
-        mesh, test rows shard over its 'grid' axis on both paths."""
+        mesh, test rows shard over its 'grid' axis on both paths; when
+        ``mesh`` is not given, the construction-time engine mesh applies
+        (so a mesh-built engine never silently predicts replicated)."""
+        if mesh is None:
+            mesh = self.mesh
         t_axes = None
         if fulldims is not None and len(fulldims) == len(self.grid_shape) \
                 and len(Xtest_clean) == int(np.prod(fulldims)):

@@ -42,9 +42,9 @@ from gpim_tpu.ops.linalg import safe_cholesky
 
 __all__ = [
     "choose_grid", "build_interp", "build_interp_sep", "ski_mvm",
-    "batched_cg", "batched_pcg", "kron_eig_root", "make_preconditioner",
+    "batched_cg", "batched_pcg", "kron_eig_root",
     "split_root", "split_apply", "split_pcg", "KronRoot",
-    "mgrid_split_root",
+    "mgrid_split_root", "mgrid_solve_core",
     "lanczos", "ski_mll", "ski_mll_from_mvm", "make_ski_predictor",
     "grid_kernel_factors", "make_masked_grid_mvm", "grid_kr_rows",
     "grid_nystrom_var", "make_grid_predictor", "grid_cross_factors",
@@ -350,38 +350,6 @@ def _kron_top_modes(kernel, p, grids, rank, dim_cap=None):
     return lam_top, Us, mdim
 
 
-def make_preconditioner(L, noise_pj, LtL=None):
-    """Woodbury apply + exact logdet of P = noise I + L L^T.
-
-    Returns (apply(v) for (n,) or (n, b), logdet P).
-
-    ``LtL`` optionally supplies a precomputed L^T L: it depends only on L,
-    not on the noise, so training loops that hold L fixed for a whole
-    segment (ski_model / mgrid_model) compute it ONCE per segment instead
-    of paying the (n, r, r) gemm on every loss evaluation (~30% of a
-    trained-phase mgrid step at G = 131k; measured in
-    benchmarks/ski_roofline.py).
-    """
-    n, k = L.shape
-    if LtL is None:
-        LtL = L.T @ L
-    C = noise_pj * jnp.eye(k, dtype=L.dtype) + LtL
-    LC = safe_cholesky(C)
-
-    def apply(v):
-        squeeze = v.ndim == 1
-        if squeeze:
-            v = v[:, None]
-        t = L.T @ v                              # (k, b)
-        from jax.scipy.linalg import cho_solve
-        w = (v - L @ cho_solve((LC, True), t)) / noise_pj
-        return w[:, 0] if squeeze else w
-
-    logdet = ((n - k) * jnp.log(noise_pj)
-              + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LC))))
-    return apply, logdet
-
-
 # --------------------------------------------------------------------------
 # split preconditioning: the f32-stable form of the Woodbury solve
 # --------------------------------------------------------------------------
@@ -572,13 +540,52 @@ def _kron_root_ops(q, batch_first=False):
     return QT, Qm
 
 
+def _kr_gram(sel, lam_top, mask_flat, block_bytes=256 * 1024 * 1024):
+    """N = Lp^T Lp for the masked Kronecker eigen-root Lp =
+    diag(mask) KR(sel) diag(sqrt(lam_top)), accumulated over leading-dim
+    row blocks WITHOUT ever materializing the (G, r) root. Blocks are
+    sized to ~``block_bytes`` so the gemms stay MXU-efficient (one row at
+    a time costs ~2 s of launch/read overhead per rebuild at G ~ 1M)
+    while the transient stays bounded: at G ~ 1M, r = 1024 this replaces
+    a ~4.3 GB f32 root with ~256 MB blocks at the same total flops."""
+    d = len(sel)
+    r = int(lam_top.shape[0])
+    g1 = int(sel[0].shape[0])
+    rest = 1
+    for k in range(1, d):
+        rest *= int(sel[k].shape[0])
+    root_lam = jnp.sqrt(lam_top)
+    tb = max(1, min(g1, block_bytes // max(4 * rest * r, 1)))
+    nb = -(-g1 // tb)                       # ceil; tail block zero-padded
+    pad = nb * tb - g1
+    sel0 = jnp.pad(sel[0], ((0, pad), (0, 0)))
+    mask2d = jnp.pad(mask_flat.reshape(g1, -1), ((0, pad), (0, 0)))
+
+    def step(N, i):
+        r0 = jax.lax.dynamic_slice_in_dim(sel0, i * tb, tb)     # (tb, r)
+        mb = jax.lax.dynamic_slice_in_dim(mask2d, i * tb, tb)   # (tb, rest)
+        cols = r0[:, None, :]                                   # (tb, 1, r)
+        for k in range(1, d):
+            cols = (cols[:, :, None, :] * sel[k][None, None, :, :]).reshape(
+                tb, -1, r)
+        cols = (cols * root_lam[None, None, :]
+                * mb[:, :, None]).reshape(tb * rest, r)
+        return N + jnp.dot(cols.T, cols,
+                           precision=jax.lax.Precision.HIGHEST), None
+
+    N0 = jnp.zeros((r, r), lam_top.dtype)
+    N, _ = jax.lax.scan(step, N0, jnp.arange(nb))
+    return N
+
+
 def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank,
                      dim_cap="auto"):
     """Structured :func:`split_root` for the masked-grid operator: returns
-    (KronRoot, lam_n, Un, modes) with modes = (lam_top, Us, mdim) in the
-    SORTED-flat-mode order every returned piece shares. Noise-independent,
-    like split_root. The (G, r) root is materialized only transiently here
-    (for N = Lp^T Lp), never stored or re-read per CG iteration.
+    (KronRoot, lam_n, Un, modes) with modes = (lam_top, Us, mdim, sel) in
+    the SORTED-flat-mode order every returned piece shares (``sel`` are
+    the per-dim mode tables Us[k][:, mdim[k]] the prediction paths
+    consume). Noise-independent, like split_root; NO (G, r) matrix is
+    materialized even transiently (see _kr_gram).
 
     ``dim_cap``: "auto" applies the ~4 rank^(1/d) per-dim candidate cap
     (see _kron_top_modes) - right for the TRAINING preconditioner, where a
@@ -601,12 +608,11 @@ def mgrid_split_root(kernel, p, grids, grid_shape, mask_flat, rank,
     lam_top = lam_top[order]
     mdim = [m[order] for m in mdim]
     sel = [Us[k][:, mdim[k]] for k in range(len(Us))]
-    Lp = grid_kr_rows(sel, lam_top, mask_flat)
-    N = jnp.dot(Lp.T, Lp, precision=jax.lax.Precision.HIGHEST)
+    N = _kr_gram(sel, lam_top, mask_flat)
     lam_n, Un, inv_root = _orth_eig(N)
     q = KronRoot(Us=tuple(Us), mflat=mflat, rl=jnp.sqrt(lam_top),
                  C=Un * inv_root[None, :], mask=mask_flat)
-    return q, lam_n, Un, (lam_top, Us, mdim)
+    return q, lam_n, Un, (lam_top, Us, mdim, sel)
 
 
 def split_pcg(mvm, pisqrt, B, iters, return_iters=False, vec_axis=0):
@@ -1202,34 +1208,41 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
     c = _grid_sharder(mesh)
 
     def predict(p, noise_pj, mask_flat, yc_flat, t_axes, kss):
-        mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
-                                   batch_first=True)
-        # split solve with the FACTORED basis (f32-stable at reference
-        # scale, see split_root; no (G, r) matrix survives the build); the
-        # eigh of Lp^T Lp is shared with the Nystrom variance below.
-        # Batch-first: see batched_pcg on the TPU tiling economics.
-        # dim_cap=None: the variance is a fixed-rank approximation on this
-        # eigenspace, so prediction uses UNCAPPED mode selection (the cap
-        # is a training-only economy - see mgrid_split_root).
-        Qs, lam_n, Un, (lam_top, Us, mdim) = mgrid_split_root(
+        am, Bmat, sel = mgrid_solve_core(
             kernel, p, grids, grid_shape, mask_flat, precond_rank,
-            dim_cap=None)
-        sel = [Us[k][:, mdim[k]] for k in range(len(grids))]
-        pisqrt, _ = split_apply(Qs, lam_n, noise_pj, vec_axis=1)
-        alpha, _, _ = split_pcg(
-            lambda v: mvm(p, noise_pj, v), pisqrt, yc_flat[None, :],
-            cg_iters, vec_axis=1)
-        am = (alpha[0] * mask_flat).reshape(grid_shape)
+            cg_iters, noise_pj, yc_flat)
         C_list = grid_cross_factors(kernel, p, grids, t_axes)
         # shard the mean's leading test mode only: sel_t[0] below must stay
         # replicated (it is the SEQUENTIAL lax.map axis of the variance)
         mean = modeprod([c(C_list[0], ("grid", None))] + C_list[1:],
                         am).reshape(-1)
-
-        Bmat = _nystrom_bmat(None, lam_top, noise_pj, eig=(lam_n, Un))
         sel_t = [jnp.dot(C, s, precision=jax.lax.Precision.HIGHEST)
                  for C, s in zip(C_list, sel)]
         var = grid_nystrom_var(sel_t, Bmat, kss, shard=c if mesh else None)
         return mean, var
 
     return predict
+
+
+def mgrid_solve_core(kernel, p, grids, grid_shape, mask_flat, rank,
+                     cg_iters, noise_pj, yc_flat):
+    """Shared masked-grid predict-time solve: split-preconditioned CG for
+    alpha = A^-1 yc on the FACTORED basis (f32-stable, batch-first - see
+    split_root / batched_pcg) plus the Nystrom variance rotation. Returns
+    (alpha masked and grid-shaped, Bmat, sel) for the two consumers
+    (make_grid_predictor for Cartesian test grids, mgrid_model's
+    scattered-point fallback) so their contracts cannot drift apart.
+    dim_cap=None: the variance is a fixed-rank approximation on this
+    eigenspace, so prediction uses UNCAPPED mode selection (the cap is a
+    training-only economy - see mgrid_split_root)."""
+    mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
+                               batch_first=True)
+    Qs, lam_n, Un, (lam_top, _, _, sel) = mgrid_split_root(
+        kernel, p, grids, grid_shape, mask_flat, rank, dim_cap=None)
+    pisqrt, _ = split_apply(Qs, lam_n, noise_pj, vec_axis=1)
+    alpha, _, _ = split_pcg(
+        lambda v: mvm(p, noise_pj, v), pisqrt, yc_flat[None, :],
+        cg_iters, vec_axis=1)
+    am = (alpha[0] * mask_flat).reshape(grid_shape)
+    Bmat = _nystrom_bmat(None, lam_top, noise_pj, eig=(lam_n, Un))
+    return am, Bmat, sel

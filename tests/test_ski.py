@@ -756,7 +756,7 @@ def test_mgrid_split_root_matches_dense():
     Qd, lam_d, _ = ski.split_root(Lp)
     pis_d, ld_d = ski.split_apply(Qd, lam_d, noise)
 
-    q, lam_s, Un, (lt_s, Us_s, mdim_s) = ski.mgrid_split_root(
+    q, lam_s, Un, (lt_s, Us_s, mdim_s, sel_s) = ski.mgrid_split_root(
         "RBF", p, axes, gshape, mask, rank)
     assert isinstance(q, ski.KronRoot)
     pis_s, ld_s = ski.split_apply(q, lam_s, noise)
@@ -862,9 +862,9 @@ def test_mgrid_split_root_dim_cap_plumbs_through():
     p = {"lengthscale": jnp.asarray([0.6, 3.0, 2.5]),
          "variance": jnp.asarray(1.3)}
     rank = 24
-    _, lam_none, _, (lt_none, _, _) = ski.mgrid_split_root(
+    _, lam_none, _, (lt_none, _, _, _) = ski.mgrid_split_root(
         "RBF", p, axes, gshape, mask, rank, dim_cap=None)
-    _, lam_tiny, _, (lt_tiny, _, _) = ski.mgrid_split_root(
+    _, lam_tiny, _, (lt_tiny, _, _, _) = ski.mgrid_split_root(
         "RBF", p, axes, gshape, mask, rank, dim_cap=4)
     # same rank, strictly less captured kernel-spectrum mass under the cap
     assert lt_tiny.shape == lt_none.shape
