@@ -869,3 +869,35 @@ def test_mgrid_split_root_dim_cap_plumbs_through():
     # same rank, strictly less captured kernel-spectrum mass under the cap
     assert lt_tiny.shape == lt_none.shape
     assert float(jnp.sum(lt_tiny)) < 0.999 * float(jnp.sum(lt_none))
+
+
+@pytest.mark.parametrize("kernel", ["Matern52"])
+def test_masked_grid_engine_nonrbf_kernels(kernel):
+    """The masked-grid CG/SLQ path with non-RBF product kernels: the
+    per-dim factor build, eigen preconditioner and split solves are
+    kernel-agnostic, but only RBF exercised them end to end before. A
+    masked lattice forced through the engine must train to a finite,
+    sane fit (reference skgpr supports Matern52 on its SKI path,
+    gpytorch_kernels.py:60-73; RationalQuadratic is Pyro-side only and
+    is correctly rejected by skreconstructor - parity surface)."""
+    from gpim_tpu import skreconstructor, utils
+
+    rng = np.random.RandomState(0)
+    shape = (24, 20, 6)
+    gx, gy, gz = np.meshgrid(*[np.arange(s, dtype=np.float64)
+                               for s in shape], indexing="ij")
+    truth = np.sin(gx / 4.0) * np.cos(gy / 5.0) + 0.3 * np.sin(gz / 2.0)
+    truth = (truth - truth.min()) / np.ptp(truth)
+    R = truth + 0.02 * rng.randn(*shape)
+    sites = rng.choice(shape[0] * shape[1],
+                       int(0.5 * shape[0] * shape[1]), replace=False)
+    R.reshape(-1, shape[2])[sites] = np.nan
+    X = utils.get_sparse_grid(R)
+    Xf = utils.get_full_grid(R)
+    m = skreconstructor(X, R, Xf, kernel=kernel, iterations=30,
+                        learning_rate=0.1, verbose=0, ski_min_points=1)
+    mean, sd, hp = m.run()
+    assert m._mgrid_engine is not None
+    assert np.isfinite(mean).all() and np.isfinite(sd).all()
+    rmse = float(np.sqrt(np.mean((mean.reshape(shape) - truth) ** 2)))
+    assert rmse < 0.5 * float(np.nanstd(R)), (kernel, rmse)
