@@ -200,6 +200,49 @@ def main():
     report("v5 cumsum+uniqgather", t5, r0s,
            mvm_v5(v_s, idx_sj, wgt_sj, uniq_j, last_j, inv_j, *factors))
 
+    # v6: NO scatter/gather at all - dense per-dim Khatri-Rao gemms.
+    # W's rows factor per dim (wgt[i,s] = prod_k wk[i, bit_k]); densify the
+    # per-dim interpolation matrices W_k (n, g_k) (2 nnz/row -> dense) and
+    # precompute KR23[i, b*c] = W2[i,b] W3[i,c] ONCE (parameter- and
+    # v-independent). Then
+    #   W^T V = reshape( (V (x)row W1)^T @ KR23 )        one (pa, i)x(i, bc)
+    #   W  T  = einsum("i(bc),(bc)(pa)->i(pa)", KR23, T) one gemm + fold a
+    # pure MXU traffic, zero scatter lowering. Memory: KR23 is n*g2*g3
+    # floats (~200 MB here) - a size-gated strategy.
+    d = len(gshape)
+    assert d == 3
+    i0 = np.asarray(eng._i0)            # (n, d) lower corners (sorted order)
+    w0 = np.asarray(eng._w0)
+    maskp = np.asarray(eng._mask, np.float32)
+    Wk = []
+    for k in range(d):
+        Wd = np.zeros((n, gshape[k]), np.float32)
+        rows = np.arange(n)
+        Wd[rows, i0[:, k]] = w0[:, k]
+        Wd[rows, np.minimum(i0[:, k] + 1, gshape[k] - 1)] += 1.0 - w0[:, k]
+        if k == 0:
+            Wd *= maskp[:, None]        # mask folds into one factor only
+        Wk.append(Wd)
+    KR23 = (Wk[1][:, :, None] * Wk[2][:, None, :]).reshape(n, -1)
+    W1_j = jnp.asarray(Wk[0][perm])
+    KR23_j = jnp.asarray(KR23[perm])
+    g1 = gshape[0]
+    HI = jax.lax.Precision.HIGH
+
+    def mvm_v6(vv, W1_, KR23_, *fs):
+        lhs = (vv[:, :, None] * W1_[:, None, :]).reshape(n, -1)  # (n, pa)
+        U = jnp.dot(lhs.T, KR23_, precision=HI)                  # (pa, bc)
+        U = U.reshape(b, g1, gshape[1], gshape[2])
+        T = jax.vmap(lambda t: ski.kron_mvm(list(fs), t))(U)
+        T = jnp.moveaxis(T.reshape(b, g1, -1), 0, 1).reshape(g1 * b, -1)
+        Y = jnp.dot(KR23_, T.T, precision=HI)                    # (n, a*p)
+        Y = Y.reshape(n, g1, b)
+        out = jnp.einsum("iap,ia->ip", Y, W1_)
+        return out + noise * vv
+    t6 = chain_time(mvm_v6, v_s, W1_j, KR23_j, *factors)
+    report("v6 dense-KR gemm", t6, r0s, mvm_v6(v_s, W1_j, KR23_j,
+                                               *factors))
+
 
 if __name__ == "__main__":
     main()

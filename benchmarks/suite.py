@@ -277,13 +277,83 @@ def bench_mgrid_1m():
         raise RuntimeError(
             "mgrid 1M quality gate failed: rmse=%.4f xcheck=%.4f at data "
             "sd %.4f" % (rmse, dis, sd_data))
+    # VARIANCE gate (round-3 lesson: unchecked outputs can look plausible;
+    # the mean gate alone says nothing about the Nystrom-extension sd,
+    # reference fast_pred_var contract skgpr.py:285). Empirical coverage of
+    # the standardized residual z = (y - mean)/sd at the observed probe
+    # points: sd is noise-inclusive (noiseless=False), so for a calibrated
+    # posterior z is ~N(0,1) and P(|z|<1) ~ 0.68. Checked on BOTH observed
+    # probes (against noisy data, noise-inclusive sd is the right scale)
+    # and unobserved grid points (against the clean truth).
+    z_obs = (R.ravel()[probe] - mean.ravel()[probe]) / sd.ravel()[probe]
+    cov_obs = float(np.mean(np.abs(z_obs) < 1.0))
+    uno_idx = np.flatnonzero(np.isnan(R).ravel())
+    uno = rng.choice(uno_idx, 2000, replace=False)
+    z_uno = (f.ravel()[uno] - mean.ravel()[uno]) / sd.ravel()[uno]
+    cov_uno = float(np.mean(np.abs(z_uno) < 1.0))
+    if not (0.55 <= cov_obs <= 0.995 and 0.55 <= cov_uno <= 0.995):
+        raise RuntimeError(
+            "mgrid 1M variance gate failed: 1-sigma coverage obs=%.3f "
+            "unobs=%.3f (want within [0.55, 0.995])"
+            % (cov_obs, cov_uno))
     return {"metric": "mgrid_masked128x128x64_wall",
             "value": round(warm, 3), "unit": "s", "iterations": iters,
             "n_grid": int(np.prod(shape)), "n_obs": n_obs,
             "s_per_iter": round(warm / iters, 3),
             "rmse_vs_truth": round(rmse, 4),
             "xcheck_rmse_vs_exact4k": round(dis, 4),
+            "sd_coverage_1s_obs": round(cov_obs, 3),
+            "sd_coverage_1s_unobs": round(cov_uno, 3),
             "data_sd": round(float(np.nanstd(R)), 4)}
+
+
+def bench_eels64_parallel():
+    """#8: at-scale multi-output parallel GP - 64 channels on a 64x64 grid
+    (the many-channel regime the vmapped/'task'-sharded batch exists for,
+    reference vgpr.py:342-354 / GP_EELS workflow; the 6-channel row above
+    is API parity, this one is capacity evidence). Reports per-channel
+    throughput; tests/test_parallel.py + dryrun_multichip cover the
+    task-sharded execution of this same shape."""
+    import gpim_tpu
+    from gpim_tpu import utils, vreconstructor
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(3)
+    g, T = 64, 64
+    fields = gaussian_filter(rng.randn(g, g, T), sigma=(5, 5, 0))
+    fields = (fields - fields.min()) / np.ptp(fields)
+    Y = fields + 0.02 * rng.randn(g, g, T)
+    Y[rng.random((g, g)) < 0.5] = np.nan
+    X = utils.get_full_grid(Y[..., 0]).copy()
+    X[:, np.isnan(Y[..., 0])] = np.nan
+    Xf = utils.get_full_grid(Y[..., 0])
+    iters = 10 if QUICK else 100
+
+    def run():
+        return vreconstructor(X, Y, Xf, kernel="RBF", independent=True,
+                              iterations=iters, verbose=0).run()
+
+    warm, (mean, sd, hp) = _timed(run)
+    obs = ~np.isnan(Y)
+    rmse = float(np.sqrt(np.mean(
+        (mean.reshape(g, g, T)[obs] - fields[obs]) ** 2)))
+    if rmse >= 0.5 * float(np.nanstd(Y)):
+        raise RuntimeError("eels64 quality gate failed: rmse=%.4f" % rmse)
+    return {"metric": "eels64_parallel_gp_wall", "value": round(warm, 3),
+            "unit": "s", "iterations": iters, "channels": T,
+            "channel_iters_per_s": round(T * iters / warm, 1),
+            "rmse_vs_truth": round(rmse, 4)}
+
+
+def bench_tpu_128_canary():
+    """Non-fatal canary: runs the UNPADDED 128-multiple masked-grid program
+    (benchmarks/repro_tpu_128_miscompile.py) so every benchmarked round
+    records whether the TPU backend bug behind MaskedGridEngine's padding
+    dodge still manifests. 'healed: true' on a TPU backend means the dodge
+    can retire."""
+    from repro_tpu_128_miscompile import run_canary
+    out = run_canary(iterations=4)
+    out["metric"] = "tpu_128_miscompile_canary"
+    return out
 
 
 def bench_component_tflops():
@@ -330,8 +400,9 @@ def bench_component_tflops():
 
 
 BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bepfm_3d_sparse,
-           bench_eels_parallel, bench_ckpfm_4d_ski, bench_ski_masked_3d,
-           bench_mgrid_1m, bench_component_tflops]
+           bench_eels_parallel, bench_eels64_parallel, bench_ckpfm_4d_ski,
+           bench_ski_masked_3d, bench_mgrid_1m, bench_tpu_128_canary,
+           bench_component_tflops]
 
 
 def main():

@@ -18,15 +18,70 @@ as in the reference.
 import copy
 import os
 import types
+from functools import partial
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from gpim_tpu.gpbayes import acqfunc
-from gpim_tpu.gpreg import gpr
+from gpim_tpu.gpreg import engine, gpr
 from gpim_tpu.native import spatial
 from gpim_tpu.utils import gridutils
+from gpim_tpu.utils.hostio import fetch_tree
 
 __all__ = ["boptimizer"]
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel", "iterations", "sparse", "acq_kind", "k"))
+def _device_bo_step(u0, Xd, yd, maskd, bounds, lr, jitter, chunks,
+                    obs_mask, sel_mask, alpha, beta, xi, *,
+                    kernel, iterations, sparse, acq_kind, k):
+    """One fused retrain -> predict -> acquisition -> top-k program.
+
+    The reference's hot loop (boptim.py:459-470) pays a device->host round
+    trip per phase (trajectory fetch after retrain, dense mean/sd fetch for
+    the acquisition, host argsort); through the axon tunnel each fetch has a
+    ~25 ms RPC floor, which caps the loop at ~11 steps/s no matter how fast
+    the GP math is. Fusing the whole step into ONE jitted program and
+    returning only the top-k candidate (value, flat-index) pairs — plus the
+    final lengthscale for batch spacing — leaves exactly one small fetch per
+    exploration step. The full-grid mean/sd and the hyperparameter
+    trajectory stay device-resident (materialized lazily at save time).
+
+    ``sel_mask`` folds the user's acquisition mask (reference
+    boptim.py:303-315 semantics: acq is multiplied by the mask, NaNs are
+    dropped from the ranking) together with the test-grid padding validity;
+    ``obs_mask`` marks observed grid points for the EI/POI incumbent.
+    """
+    u, traj = engine.train(u0, Xd, yd, maskd, bounds, lr, jitter,
+                           kernel=kernel, iterations=iterations,
+                           sparse=sparse)
+    predict_fn = engine.predict_vfe if sparse else engine.predict_exact
+    mean, var = predict_fn(u, Xd, yd, maskd, bounds, jitter, chunks,
+                           kernel=kernel, noiseless=False)
+    sd = jnp.sqrt(var)
+    if acq_kind == "cb":
+        acq = alpha * mean + beta * sd
+    else:
+        best = jnp.max(jnp.where(obs_mask, mean, -jnp.inf))
+        z = (mean - best - xi) / sd
+        if acq_kind == "ei":
+            acq = ((mean - best - xi) * jax.scipy.stats.norm.cdf(z)
+                   + sd * jax.scipy.stats.norm.pdf(z))
+        else:
+            acq = jax.scipy.stats.norm.cdf(z)
+    macq = sel_mask * acq
+    neg_inf = jnp.asarray(-jnp.inf, macq.dtype)
+    macq = jnp.where(jnp.isnan(macq) | (sel_mask == 0), neg_inf, macq)
+    vals, order = jax.lax.top_k(macq, k)
+    # indices as floats so the whole candidate fetch packs into one
+    # same-dtype buffer (hostio.fetch_tree); exact for any real grid size
+    small = (vals, order.astype(vals.dtype),
+             traj["lengthscale"][-1].reshape(-1))
+    return u, traj, mean, sd, small
 
 
 def _atomic_save(filename, obj, allow_pickle=False):
@@ -125,6 +180,26 @@ class boptimizer:
         self.target_func_vals, self.gp_predictions = [y_seed.copy()], []
         self.steps_done = 0
 
+        # one-fetch fast path (see _device_bo_step): precompute the static
+        # device-side test-grid chunks and the selection mask once
+        self._fulldims = X_full.shape[1:]
+        m = self.surrogate_model
+        Xt = m.Xtest                       # prepared (n, d), NaN-free grid
+        self._n_test = len(Xt)
+        from gpim_tpu import dtypes
+        chunk = min(4096, dtypes.round_up(self._n_test, 128))
+        chunks, _ = engine.chunk_rows(np.nan_to_num(Xt), chunk)
+        self._chunks_d = jnp.asarray(chunks)
+        n_flat = int(np.prod(chunks.shape[:2]))
+        sel = np.zeros(n_flat, m.dtype)
+        if self.mask is None:
+            sel[:self._n_test] = 1.0
+        else:
+            sel[:self._n_test] = np.asarray(
+                self.mask, m.dtype).ravel()[:self._n_test]
+        self._sel_mask_d = jnp.asarray(sel)
+        self._n_flat = n_flat
+
     # ------------------------------------------------------------------
 
     def update_posterior(self):
@@ -213,6 +288,70 @@ class boptimizer:
             batch_dscale_ = self.batch_dscale
         return self.update_points(vals_list, indices_list, batch_dscale_)
 
+    def _fused_ok(self):
+        """The one-fetch device path covers the three named acquisition
+        functions on a standard (non-super-resolved) full grid; custom
+        callables and mismatched grids take the legacy host path."""
+        return (self.acquisition_function in ("cb", "ei", "poi")
+                and self._n_test == int(np.prod(np.shape(self.y_sparse))))
+
+    def _fused_step(self, iterations):
+        """Retrain + acquisition + top-k in one device program, one fetch.
+
+        Returns (vals_list, indices_list, mean_lengthscale) with the same
+        candidate-ranking semantics as next_point (reference
+        boptim.py:278-324); the dense mean/sd prediction is appended to
+        gp_predictions as device arrays and materialized at save time.
+        """
+        m = self.surrogate_model
+        obs = np.zeros(self._n_flat, bool)
+        obs[:self._n_test] = ~np.isnan(
+            np.asarray(self.y_sparse).ravel())
+        u, Xd, yd, maskd = m.u, m._Xd, m._yd, m._maskd
+        chunks_d = self._chunks_d
+        if m._mesh is not None:
+            from gpim_tpu.parallel import mesh as meshmod
+            chunks_d = meshmod.shard_chunk_rows(chunks_d, m._mesh)
+            u, Xd, yd, maskd = meshmod.replicate(
+                (u, Xd, yd, maskd), m._mesh)
+        u_new, traj, mean, sd, small = _device_bo_step(
+            u, Xd, yd, maskd, m._bounds(),
+            jnp.asarray(m.learning_rate, m.dtype),
+            jnp.asarray(m.jitter, m.dtype), chunks_d,
+            jnp.asarray(obs), self._sel_mask_d,
+            float(self.alpha), float(self.beta), float(self.xi),
+            kernel=m.kernel_type, iterations=int(iterations),
+            sparse=m.do_sparse, acq_kind=self.acquisition_function,
+            k=int(min(self.batch_size, self._n_flat)))
+        m.u = u_new
+        m._traj_list.append(traj)          # device-resident until assembled
+        self.gp_predictions.append((mean, sd))
+        vals, order_f, ls_last = fetch_tree(small)   # THE one fetch
+        valid = np.isfinite(vals)
+        vals, order = vals[valid], order_f[valid].astype(np.int64)
+        vals_list = vals.tolist()
+        indices_list = np.stack(
+            np.unravel_index(order, self._fulldims), axis=-1).tolist()
+        return vals_list, indices_list, float(np.mean(ls_last))
+
+    def _materialize(self):
+        """Fetch device-resident BO state accumulated by the fused path:
+        gp_predictions become host (fulldims) arrays and the surrogate's
+        trajectory segments are assembled into its hyperparams dict."""
+        dims, n = self._fulldims, self._n_test
+        dev_idx = [i for i, p in enumerate(self.gp_predictions)
+                   if isinstance(p[0], jax.Array)]
+        if dev_idx:
+            fetched = fetch_tree([self.gp_predictions[i] for i in dev_idx])
+            for i, (mean, sd) in zip(dev_idx, fetched):
+                self.gp_predictions[i] = (mean[:n].reshape(dims),
+                                          sd[:n].reshape(dims))
+        m = self.surrogate_model
+        if any(isinstance(next(iter(t.values())), jax.Array)
+               for t in m._traj_list):
+            m._traj_list = fetch_tree(m._traj_list)
+            m._assemble_hyperparams()
+
     def update_points(self, acqfunc_values, indices, dscale):
         """Lengthscale-spaced batch selection: greedy suppression of
         candidates within ``dscale`` of each accepted point, random fill-up
@@ -276,17 +415,37 @@ class boptimizer:
     # ------------------------------------------------------------------
 
     def single_step(self, e):
-        """One explore-measure-update cycle (reference boptim.py:431-457)."""
+        """One explore-measure-update cycle (reference boptim.py:431-457).
+
+        On the fused path the posterior update for measurement e happens at
+        the START of step e+1's device program (retrain -> acquire is one
+        jit call, one fetch) instead of at the end of step e - the same
+        train-on-the-same-data schedule, moved across the step boundary;
+        run() adds the reference's trailing post-measurement retrain.
+        """
         if self.verbose:
             print("\nExploration step {} / {}".format(
                 e + 1, self.exploration_steps))
-        if e == 0:
-            self.surrogate_model.train()
-        vals, inds = self.next_point()
-        if not self.batch_update:
-            inds, vals = self.checkvalues(inds, vals)
-        self.evaluate_function(inds)
-        self.update_posterior()
+        if self._fused_ok():
+            iters = (self.surrogate_model.iterations if e == 0
+                     else self.refit_iterations)
+            self.surrogate_model.update_data(self.X_sparse, self.y_sparse)
+            vals, inds, lscale = self._fused_step(iters)
+            if self.batch_update:
+                bd = (self.batch_dscale if self.batch_dscale is not None
+                      else lscale)
+                vals, inds = self.update_points(vals, inds, bd)
+            else:
+                inds, vals = self.checkvalues(inds, vals)
+            self.evaluate_function(inds)
+        else:
+            if e == 0:
+                self.surrogate_model.train()
+            vals, inds = self.next_point()
+            if not self.batch_update:
+                inds, vals = self.checkvalues(inds, vals)
+            self.evaluate_function(inds)
+            self.update_posterior()
         if isinstance(vals, float):
             self.indices_all.append(inds)
             self.vals_all.append(vals)
@@ -297,12 +456,21 @@ class boptimizer:
     def run(self):
         """Run the exploration loop (resumable - continues from steps_done
         after load_checkpoint) with optional per-step checkpoints."""
+        start = self.steps_done
         for i in range(self.steps_done, self.exploration_steps):
             self.single_step(i)
             self.steps_done = i + 1
             if self.save_checkpoints:
+                self._materialize()
                 self.save_results()
                 self.save_checkpoint(self.filename + "_state")
+        if self._fused_ok() and self.steps_done > start:
+            # trailing posterior update: the reference loop retrains after
+            # the LAST measurement too (boptim.py:449); the fused path
+            # deferred every other retrain into the next step's program
+            self._materialize()
+            self.update_posterior()
+        self._materialize()
         self.save_results()
         if self.verbose:
             print("\nExploration completed")

@@ -121,7 +121,7 @@ def cartesian_axes_from_points(X_flat, dims, rtol=1e-6):
 # --------------------------------------------------------------------------
 
 def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
-          kernel, grid_shape, cg_iters, mesh=None):
+          kernel, grid_shape, cg_iters, mesh=None, record_iters=False):
     # batch-first layout throughout (g0 is (n_probes, G)): the CG state
     # never materializes a lane-padded (G, small) block - see
     # ski.batched_pcg on the TPU tiling economics
@@ -135,20 +135,26 @@ def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
         shard = ski._grid_sharder(mesh)
         constrain = lambda x: shard(x, (None, "grid"))
     core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1,
-                                constrain=constrain)
+                                constrain=constrain,
+                                return_iters=record_iters)
     p = _constrain(u, bounds)
     yc = (y_flat - p["mean"]) * mask_flat
     noise_pj = p["noise"] + jitter
     n_eff = jnp.sum(mask_flat)
     G = y_flat.shape[0]
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
+    base = core(kp, noise_pj, yc, Qp, lam_n)
+    it = None
+    if record_iters:
+        base, it = base
     # identical objective to ski_model._loss with n_pad = G: masked grid
     # cells are exact noise*I rows of A, subtracted from the logdet
-    return (core(kp, noise_pj, yc, Qp, lam_n)
+    loss = (base
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (G - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
                 u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
+    return (loss, it) if record_iters else loss
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
@@ -169,24 +175,86 @@ def _build_precond(u, axes, mask_flat, bounds, *, kernel, grid_shape, rank):
     return Qp, lam_n
 
 
+def _loss_ws(u, X0, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds,
+             jitter, *, kernel, grid_shape, cg_iters, mesh=None):
+    """Warm-started variant of :func:`_loss`: takes the previous Adam
+    step's split-space CG solution block ``X0`` and returns
+    (loss, (X_new, realized_iters)) - see ski.ski_mll_from_mvm
+    warm_start for the estimator contract (gradients exact-in-tolerance,
+    recorded loss value's logdet approximate)."""
+    mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
+                                   mask_flat, batch_first=True)
+    constrain = None
+    if mesh is not None:
+        shard = ski._grid_sharder(mesh)
+        constrain = lambda x: shard(x, (None, "grid"))
+    core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1,
+                                constrain=constrain, warm_start=True)
+    p = _constrain(u, bounds)
+    yc = (y_flat - p["mean"]) * mask_flat
+    noise_pj = p["noise"] + jitter
+    n_eff = jnp.sum(mask_flat)
+    G = y_flat.shape[0]
+    kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
+    base, aux = core(kp, noise_pj, yc, Qp, lam_n, X0)
+    loss = (base
+            + 0.5 * n_eff * _LOG_2PI
+            - 0.5 * (G - n_eff) * jnp.log(noise_pj)
+            - interval_log_jacobian(
+                u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
+    return loss, aux
+
+
 @partial(jax.jit, static_argnames=(
-    "kernel", "grid_shape", "cg_iters", "iterations", "mesh"))
+    "kernel", "grid_shape", "cg_iters", "iterations", "mesh",
+    "record_iters", "warm_start"))
 def _train_seg(u0, opt_state, Qp, lam_n, axes, mask_flat, g0, y_flat,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
-               iterations, mesh=None):
+               iterations, mesh=None, record_iters=False,
+               warm_start=False):
     opt = optax.adam(learning_rate=lr)
+    if warm_start:
+        lf = partial(_loss_ws, kernel=kernel, grid_shape=grid_shape,
+                     cg_iters=cg_iters, mesh=mesh)
+
+        def step(carry, _):
+            u, opt_state, X = carry
+            (loss, (X_new, cg_it)), g = jax.value_and_grad(
+                lf, has_aux=True)(
+                u, X, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds,
+                jitter)
+            updates, opt_state = opt.update(g, opt_state, u)
+            u = optax.apply_updates(u, updates)
+            p = _constrain(u, bounds)
+            rec = {"lengthscale": p["lengthscale"],
+                   "noise": p["noise"], "loss": loss}
+            if record_iters:
+                rec["cg_iters"] = cg_it
+            return (u, opt_state, X_new), rec
+
+        X0 = jnp.zeros((g0.shape[0] + 1, g0.shape[1]), g0.dtype)
+        (u_final, opt_state, _), traj = jax.lax.scan(
+            step, (u0, opt_state, X0), None, length=iterations)
+        return u_final, opt_state, traj
+
     lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
-                 cg_iters=cg_iters, mesh=mesh)
+                 cg_iters=cg_iters, mesh=mesh, record_iters=record_iters)
 
     def step(carry, _):
         u, opt_state = carry
-        loss, g = jax.value_and_grad(lf)(
-            u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter)
+        if record_iters:
+            (loss, cg_it), g = jax.value_and_grad(lf, has_aux=True)(
+                u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter)
+        else:
+            loss, g = jax.value_and_grad(lf)(
+                u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
         rec = {"lengthscale": p["lengthscale"],
                "noise": p["noise"], "loss": loss}
+        if record_iters:
+            rec["cg_iters"] = cg_it
         return (u, opt_state), rec
 
     (u_final, opt_state), traj = jax.lax.scan(
@@ -256,7 +324,7 @@ class MaskedGridEngine:
 
     def __init__(self, kernel, axes, mask_grid, y_grid, dtype, *,
                  cg_iters=64, n_probes=8, precond_rank=None,
-                 segment=10, seed=0, mesh=None):
+                 segment=10, seed=0, mesh=None, pad_dodge=True):
         self.kernel = kernel
         self.dtype = dtype
         self.mesh = mesh
@@ -269,8 +337,11 @@ class MaskedGridEngine:
         # approximation: padded cells are masked, so A is block-diagonal
         # with an exact noise*I block whose logdet the MLL correction term
         # already subtracts, and CG gives alpha = 0 at padded cells.
+        # ``pad_dodge=False`` (canary/diagnostic use only - see
+        # benchmarks/repro_tpu_128_miscompile.py) runs the raw shapes so
+        # the backend bug's status can be probed on real hardware.
         axes = [np.asarray(a, dtype) for a in axes]
-        pads = [4 if len(a) % 128 == 0 else 0 for a in axes]
+        pads = [4 if pad_dodge and len(a) % 128 == 0 else 0 for a in axes]
         if any(pads):
             axes = [np.concatenate([a, a[-1] + (a[1] - a[0])
                                     * np.arange(1, p + 1, dtype=dtype)])
@@ -309,13 +380,17 @@ class MaskedGridEngine:
 
     # -- the same train contract as SKIEngine.train -----------------------
 
-    def train(self, u0, bounds, lr, jitter, *, iterations):
+    def train(self, u0, bounds, lr, jitter, *, iterations,
+              record_cg_iters=False, warm_start=False):
         u = u0
         if int(iterations) <= 0:
             d = u0["lengthscale"].shape[0]
             zero = np.zeros((0,), self.dtype)
-            return u, {"lengthscale": np.zeros((0, d), self.dtype),
-                       "noise": zero, "loss": zero}
+            out = {"lengthscale": np.zeros((0, d), self.dtype),
+                   "noise": zero, "loss": zero}
+            if record_cg_iters:
+                out["cg_iters"] = zero
+            return u, out
         opt_state = optax.adam(1.0).init(u0)
         trajs = []
         remaining = int(iterations)
@@ -338,7 +413,8 @@ class MaskedGridEngine:
                 u, opt_state, Qp, lam_n, self._axes, self._mask,
                 self._g0, self._y, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
-                cg_iters=self.cg_iters, iterations=s, mesh=self.mesh)
+                cg_iters=self.cg_iters, iterations=s, mesh=self.mesh,
+                record_iters=record_cg_iters, warm_start=warm_start)
             trajs.append(traj)
             remaining -= s
         full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])

@@ -628,8 +628,17 @@ def split_pcg(mvm, pisqrt, B, iters, return_iters=False, vec_axis=0):
     return (pisqrt(out[0]),) + tuple(out[1:])
 
 
-def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0):
+def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0,
+                x0=None, tol_ref=None):
     """Preconditioned conjugate gradients for A X = B, all columns at once.
+
+    ``x0`` warm-starts the solve (X = x0 + CG solution of A D = B - A x0);
+    the recovered tridiagonals then belong to the RESIDUAL's Lanczos
+    process, not B's - callers using them for SLQ must start cold.
+    ``tol_ref`` overrides the convergence reference |B|^2 per column (pass
+    the ORIGINAL rhs norms when warm-starting, else the relative exit
+    tolerance tightens with the shrinking initial residual and the warm
+    start saves nothing).
 
     ``vec_axis`` selects the layout: 0 means B is (n, b) with each solution
     a COLUMN; 1 means B is (b, n) batch-first with each solution a ROW. Use
@@ -655,14 +664,19 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0):
         ex = lambda s: s[None, :]      # per-column scalar -> broadcast
     else:
         ex = lambda s: s[:, None]
-    X0 = jnp.zeros_like(B)
-    R0 = B
+    if x0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        X0 = x0
+        R0 = B - mvm(x0)
     Z0 = pinv(R0)
     P0 = Z0
     rz0 = jnp.sum(R0 * Z0, axis=ax)
     rs0 = jnp.sum(R0 * R0, axis=ax)
+    rs_ref = rs0 if tol_ref is None else tol_ref
     eps = jnp.finfo(B.dtype).eps
-    tol = jnp.maximum(rs0, 1e-30) * (100.0 * eps) ** 2
+    tol = jnp.maximum(rs_ref, 1e-30) * (100.0 * eps) ** 2
     b = B.shape[1 - ax]
     # preallocated tridiag buffers; untouched tail rows stay the decoupled
     # identity block (t_diag = 1, t_off = 0) the SLQ contract requires
@@ -710,7 +724,7 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0):
 
     init = (jnp.asarray(0), X0, R0, Z0, P0, rz0,
             jnp.ones_like(rz0), jnp.zeros_like(rz0),
-            jnp.zeros(rz0.shape, bool), Td0, To0)
+            rs0 < tol, Td0, To0)
     out = jax.lax.while_loop(cond, body, init)
     X, t_diags, t_offs = out[1], out[9], out[10]
     if return_iters:
@@ -718,7 +732,8 @@ def batched_pcg(mvm, pinv, B, iters, return_iters=False, vec_axis=0):
     return X, t_diags, t_offs
 
 
-def batched_cg(mvm, B, iters, vec_axis=0):
+def batched_cg(mvm, B, iters, vec_axis=0, return_iters=False,
+               x0=None, tol_ref=None):
     """Conjugate gradients for A X = B, all columns at once.
 
     Also returns the Lanczos tridiagonal coefficients recovered from the CG
@@ -731,7 +746,8 @@ def batched_cg(mvm, B, iters, vec_axis=0):
     """
     # identity preconditioner: shares the adaptive while_loop machinery of
     # batched_pcg (same per-iteration math, cap = ``iters``)
-    return batched_pcg(mvm, lambda r: r, B, iters, vec_axis=vec_axis)
+    return batched_pcg(mvm, lambda r: r, B, iters, vec_axis=vec_axis,
+                       return_iters=return_iters, x0=x0, tol_ref=tol_ref)
 
 
 def _slq_from_tridiag(t_diags, t_offs, probe_sqnorms):
@@ -798,12 +814,20 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
                   sorted_corners=sorted_corners), cg_iters, g0)
 
 
-def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
+def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None,
+                     return_iters=False, warm_start=False):
     """:func:`ski_mll` core over an arbitrary ``mvm(p, noise_pj, v)``
     (used by both the interpolation operator and the masked-grid operator;
     same estimator contract as documented on ski_mll). ``vec_axis`` as in
     :func:`batched_pcg`: with 1, ``g0`` is (p, n) batch-first and the mvm
     must take (b, n) blocks.
+
+    With ``return_iters=True`` the returned core yields
+    ``(loss, realized_cg_iters)`` - the while_loop trip count as a float
+    scalar, differentiation-inert - so training loops can record a
+    per-Adam-step CG-convergence time series (the roofline instrumentation
+    of benchmarks/mgrid_iter_trace.py); the default single-scalar contract
+    is unchanged.
 
     ``constrain`` optionally pins the sharding of every 2D CG-state block
     (the RHS and each mvm output). Under a mesh, GSPMD then partitions the
@@ -826,6 +850,10 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
         return out
 
     def _fwd(p, noise_pj, yc, Q, lam_n):
+        (out, _), res = _fwd_full(p, noise_pj, yc, Q, lam_n)
+        return out, res
+
+    def _fwd_full(p, noise_pj, yc, Q, lam_n):
         pisqrt, logdetP = split_apply(Q, lam_n, noise_pj,
                                       vec_axis=vec_axis)
         At = lambda v: pisqrt(mvm(p, noise_pj, pisqrt(v)))
@@ -835,8 +863,9 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
             B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
         if constrain is not None:
             B = constrain(B)
-        X, t_diags, t_offs = batched_cg(At, B, cg_iters,
-                                        vec_axis=vec_axis)
+        X, t_diags, t_offs, k_real = batched_cg(At, B, cg_iters,
+                                                vec_axis=vec_axis,
+                                                return_iters=True)
         # the sliced loop outputs are pinned AFTER slicing: on the TPU
         # backend, feeding a strided column slice of a loop output into the
         # differentiated mvm of the backward pass miscompiles the LOOP
@@ -857,7 +886,8 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
         logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
         quad = 0.5 * jnp.dot(yc, alpha)
         out = quad + 0.5 * logdet
-        return out, (p, noise_pj, alpha, solves, w, Q, lam_n)
+        return ((out, k_real.astype(out.dtype)),
+                (p, noise_pj, alpha, solves, w, Q, lam_n))
 
     def _bwd(res, g):
         p, noise_pj, alpha, solves, w, Q, lam_n = res
@@ -884,7 +914,79 @@ def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None):
         return (gp, g * gn, g * alpha, zq, jnp.zeros_like(lam_n))
 
     core.defvjp(_fwd, _bwd)
-    return core
+    if warm_start:
+        # EXPERIMENTAL (VERDICT r3 item 2): carry the previous Adam step's
+        # CG solutions (split space - the basis is fixed within a training
+        # segment) as this step's init. The gradient estimator is
+        # unchanged (it uses the converged solves, init-independent up to
+        # CG tolerance); the SLQ logdet VALUE comes from the residual's
+        # Lanczos process and is biased once X0 != 0, so the recorded loss
+        # trace is approximate under warm start - measured consequences in
+        # benchmarks/BASELINE_MEASURED.md before this ever becomes a
+        # default.
+        @partial(jax.custom_vjp, nondiff_argnums=())
+        def core_ws(p, noise_pj, yc, Q, lam_n, X0):
+            out, _ = _fwd_ws(p, noise_pj, yc, Q, lam_n, X0)
+            return out
+
+        def _fwd_ws(p, noise_pj, yc, Q, lam_n, X0):
+            pisqrt, logdetP = split_apply(Q, lam_n, noise_pj,
+                                          vec_axis=vec_axis)
+            At = lambda v: pisqrt(mvm(p, noise_pj, pisqrt(v)))
+            if bf:
+                B = jnp.concatenate([pisqrt(yc[None, :]), g0], axis=0)
+            else:
+                B = jnp.concatenate([pisqrt(yc[:, None]), g0], axis=1)
+            if constrain is not None:
+                B = constrain(B)
+                X0 = constrain(X0)
+            rs_ref = jnp.sum(B * B, axis=vec_axis)
+            X, t_diags, t_offs, k_real = batched_cg(
+                At, B, cg_iters, vec_axis=vec_axis, return_iters=True,
+                x0=X0, tol_ref=rs_ref)
+            if bf:
+                Xa, Xs = jax.lax.optimization_barrier((X[0], X[1:]))
+            else:
+                Xa, Xs = jax.lax.optimization_barrier((X[:, 0], X[:, 1:]))
+            alpha = pisqrt(Xa)
+            solves = pisqrt(Xs)
+            w = jax.lax.optimization_barrier(pisqrt(g0))
+            sqnorms = jnp.sum(g0 * g0, axis=vec_axis)
+            td, to = jax.lax.optimization_barrier(
+                (t_diags[:, 1:], t_offs[:, 1:]))
+            logdet = logdetP + _slq_from_tridiag(td, to, sqnorms)
+            quad = 0.5 * jnp.dot(yc, alpha)
+            out = quad + 0.5 * logdet
+            return ((out, (X, k_real.astype(out.dtype))),
+                    (p, noise_pj, alpha, solves, w, Q, lam_n))
+
+        def _bwd_ws(res, g):
+            solves = res[3]
+            if bf:
+                z0 = jnp.zeros((solves.shape[0] + 1, solves.shape[1]),
+                               solves.dtype)
+            else:
+                z0 = jnp.zeros((solves.shape[0], solves.shape[1] + 1),
+                               solves.dtype)
+            return _bwd(res, g[0]) + (z0,)
+
+        core_ws.defvjp(_fwd_ws, _bwd_ws)
+        return core_ws
+    if not return_iters:
+        return core
+
+    @partial(jax.custom_vjp, nondiff_argnums=())
+    def core_it(p, noise_pj, yc, Q, lam_n):
+        out, _ = _fwd_full(p, noise_pj, yc, Q, lam_n)
+        return out
+
+    def _bwd_it(res, g):
+        # g = (loss cotangent, iters cotangent); the trip count is
+        # differentiation-inert instrumentation
+        return _bwd(res, g[0])
+
+    core_it.defvjp(_fwd_full, _bwd_it)
+    return core_it
 
 
 # --------------------------------------------------------------------------
