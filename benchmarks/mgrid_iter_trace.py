@@ -62,64 +62,33 @@ def build_problem():
 
 
 def production_trace(iters=30, warm=True):
-    """Phase A: engine.train's exact schedule, per-segment host wall."""
-    import jax.numpy as jnp
-    from gpim_tpu.gpreg import mgrid_model as mm
-
+    """Phase A: the engine's PRODUCTION schedule (adaptive rebuild
+    cadence as of round 4) - total warm wall + the realized-CG-iteration
+    series, whose segment boundaries are visible as drops after each
+    rebuild."""
     m = build_problem()
     eng = m._mgrid_engine
     bounds = m._bounds()
     lr, jitter = m.learning_rate, m.jitter
-    rows = []
+    u0 = {k: v[0] for k, v in m.u.items()}
 
-    def one_pass(record):
-        import optax
-        u = {k: v[0] for k, v in m.u.items()}
-        opt_state = optax.adam(1.0).init(u)
-        remaining, ramp = int(iters), 2
-        segs = []
-        while remaining > 0:
-            s = min(eng.segment, remaining, ramp)
-            ramp = min(eng.segment, ramp * 2)
-            t0 = time.time()
-            Qp, lam_n = mm._build_precond(
-                u, eng._axes, eng._mask, bounds, kernel=eng.kernel,
-                grid_shape=eng.grid_shape, rank=eng.precond_rank)
-            _block((Qp, lam_n))
-            t_pre = time.time() - t0
-            t0 = time.time()
-            u, opt_state, traj = mm._train_seg(
-                u, opt_state, Qp, lam_n, eng._axes, eng._mask, eng._g0,
-                eng._y, bounds, lr, jitter, kernel=eng.kernel,
-                grid_shape=eng.grid_shape, cg_iters=eng.cg_iters,
-                iterations=s, mesh=eng.mesh, record_iters=True)
-            _block(traj)
-            t_seg = time.time() - t0
-            if record:
-                segs.append({
-                    "seg_len": s, "precond_s": round(t_pre, 3),
-                    "seg_s": round(t_seg, 3),
-                    "s_per_iter": round(t_seg / s, 4),
-                    "cg_iters": np.asarray(traj["cg_iters"]).astype(int)
-                    .tolist(),
-                    "loss": [round(float(x), 2)
-                             for x in np.asarray(traj["loss"])],
-                })
-            remaining -= s
-        return segs
+    def one_pass():
+        return eng.train(u0, bounds, lr, jitter, iterations=iters,
+                         record_cg_iters=True)
 
     if warm:
-        one_pass(record=False)        # compile pass (cached thereafter)
+        one_pass()                    # compile pass (cached thereafter)
     t0 = time.time()
-    segs = one_pass(record=True)
+    _, traj = one_pass()
     total = time.time() - t0
-    for r in segs:
-        r["metric"] = "mgrid1m_segment"
-        rows.append(r)
-    rows.append({"metric": "mgrid1m_production_total",
-                 "iters": iters, "wall_s": round(total, 3),
-                 "s_per_iter": round(total / iters, 4)})
-    return rows, segs
+    cg = np.asarray(traj["cg_iters"]).astype(int).tolist()
+    rows = [{"metric": "mgrid1m_production_adaptive",
+             "iters": iters, "wall_s": round(total, 3),
+             "s_per_iter": round(total / iters, 4),
+             "cg_iters": cg, "total_cg": int(np.sum(cg)),
+             "loss_first_last": [round(float(traj["loss"][0]), 2),
+                                 round(float(traj["loss"][-1]), 2)]}]
+    return rows, rows
 
 
 def per_iteration_trace(iters=30):

@@ -243,6 +243,37 @@ def main():
     report("v6 dense-KR gemm", t6, r0s, mvm_v6(v_s, W1_j, KR23_j,
                                                *factors))
 
+    # v7: ONE scatter + ONE gather for all 2^d corners. Corner s sits at a
+    # constant grid shift from the lower corner, so scatter the whole
+    # (n, S*b) weighted block to the LOWER corners once, then realize the
+    # corner offsets as d-dim rolls of the grid (cheap elementwise);
+    # mirror on the gather side. Rolls never wrap into live data because
+    # build_interp clips i0 <= size-2. Physical traffic: one (n, S*b~72
+    # -> 128 lanes) scatter instead of 8 lane-padded (n, 9 -> 128) ones.
+    idx0_j = jnp.asarray(idx_s[:, 0])
+    bits = [[(s >> k) & 1 for k in range(d)] for s in range(S)]
+
+    def mvm_v7(vv, idx0_, wgt_, *fs):
+        contrib = (wgt_[:, :, None] * vv[:, None, :]).reshape(n, S * b)
+        U0 = jnp.zeros((G, S * b), vv.dtype).at[idx0_].add(
+            contrib, indices_are_sorted=True, mode="promise_in_bounds")
+        Ug = U0.reshape(gshape + (S, b))
+        acc = jnp.zeros(gshape + (b,), vv.dtype)
+        for s in range(S):
+            acc = acc + jnp.roll(Ug[..., s, :], shift=bits[s],
+                                 axis=tuple(range(d)))
+        t = ski.kron_mvm(list(fs), acc)
+        T = jnp.stack([jnp.roll(t, shift=[-x for x in bits[s]],
+                                axis=tuple(range(d)))
+                       for s in range(S)], axis=-2)     # gshape + (S, b)
+        g = T.reshape(G, S * b).at[idx0_].get(
+            indices_are_sorted=True, mode="promise_in_bounds")
+        out = jnp.sum(wgt_[:, :, None] * g.reshape(n, S, b), axis=1)
+        return out + noise * vv
+    t7 = chain_time(mvm_v7, v_s, idx0_j, wgt_sj, *factors)
+    report("v7 one-scatter+roll", t7, r0s,
+           mvm_v7(v_s, idx0_j, wgt_sj, *factors))
+
 
 if __name__ == "__main__":
     main()

@@ -391,20 +391,28 @@ class MaskedGridEngine:
             if record_cg_iters:
                 out["cg_iters"] = zero
             return u, out
+        from gpim_tpu.utils.hostio import fetch_tree
         opt_state = optax.adam(1.0).init(u0)
         trajs = []
         remaining = int(iterations)
-        # rebuild RAMP: hyperparameters move fastest in the first Adam
-        # steps, and a stale basis is expensive exactly then (measured at
-        # G ~ 1.1M: fresh basis 11 realized CG iters after 10 steps vs 128
-        # - the cap - with the step-0 basis). Short early segments buy
-        # those rebuilds where they pay; the schedule is static (2, 4, 8,
-        # segment, ...) so each distinct scan length compiles once and the
-        # persistent cache amortizes it across runs.
-        ramp = 2
+        # ADAPTIVE rebuild cadence. The measured per-iteration wall at
+        # G ~ 1M is ~13.7 ms per realized CG iteration + 137 ms per basis
+        # rebuild (benchmarks/mgrid_iter_trace.py, BASELINE_MEASURED.md
+        # "1M iteration accounting"): the round-3 static ramp (2, 4, 8,
+        # segment, ...) let realized iters climb 24 -> 64 and 3 -> 36
+        # between rebuilds while hyperparameters moved - most of the
+        # "missing" wall of the 30-iter run. A rebuild pays for itself in
+        # ~10 saved CG iterations, so the segment length now adapts to
+        # the REALIZED convergence: double it while solves stay cheap,
+        # halve it when the last step's iteration count crosses the
+        # rebuild-worthy threshold. Segment lengths stay powers of two
+        # (capped by ``segment``) so each distinct scan length compiles
+        # once. Each segment's trajectory is fetched in ONE packed RPC
+        # (hostio.fetch_tree) - that fetch both feeds the adaptation and
+        # pre-pays the end-of-train assembly.
+        s_next = 2
         while remaining > 0:
-            s = min(self.segment, remaining, ramp)
-            ramp = min(self.segment, ramp * 2)
+            s = min(s_next, remaining)
             Qp, lam_n = _build_precond(
                 u, self._axes, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
@@ -414,11 +422,19 @@ class MaskedGridEngine:
                 self._g0, self._y, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s, mesh=self.mesh,
-                record_iters=record_cg_iters, warm_start=warm_start)
+                record_iters=True, warm_start=warm_start)
+            traj = fetch_tree(traj)
+            last_it = float(traj["cg_iters"][-1])
+            if last_it >= 16.0:
+                s_next = max(2, s // 2)
+            elif last_it <= 8.0:
+                s_next = min(self.segment, s * 2)
             trajs.append(traj)
             remaining -= s
         full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])
                 for k in trajs[0]}
+        if not record_cg_iters:
+            full.pop("cg_iters", None)
         return u, full
 
     def predict(self, u, bounds, jitter, Xtest_clean, fulldims, mesh=None):

@@ -188,16 +188,21 @@ def ski_mvm(factors, idx, wgt, noise_plus_jitter, grid_shape, v,
     """A v = W K_UU W^T v + (noise + jitter) v, for v of shape (n,) or
     (n, b) batched.
 
-    ``sorted_corners=True`` promises that EVERY corner column idx[:, s] is
-    sorted (nondecreasing). Sorting the points once by their lower-corner
-    flat index guarantees this for all 2^d columns simultaneously, because
-    corner s sits at a constant stride offset from the lower corner:
-    idx[:, s] = idx[:, 0] + sum_k bit_k(s) * stride_k. The per-corner
-    sorted scatter/gather lowering is ~1.9x faster than the flat unsorted
-    scatter on TPU (3.7 vs 6.9 ms at n = 39k, G = 47k, 9-column block;
-    benchmarks/proto_mvm_variants.py) - this mvm is the bottleneck of the
-    off-lattice CG training iteration, so SKIEngine sorts its points at
-    build time and passes the promise through.
+    ``sorted_corners=True`` promises that the points are sorted by their
+    lower-corner flat index idx[:, 0] (SKIEngine sorts once at build
+    time). That unlocks the one-scatter form: corner s sits at a constant
+    GRID SHIFT from the lower corner (idx[:, s] = idx[:, 0] +
+    sum_k bit_k(s) * stride_k), so the whole (n, 2^d * b) weighted block
+    scatters to the lower corners in ONE sorted scatter-add and the
+    corner offsets are realized as d-dim rolls of the grid (cheap
+    elementwise adds); the gather side mirrors it with pre-rolled grids
+    and ONE sorted gather. Rolls never wrap into live data because
+    build_interp clips i0 <= size-2 per dim, so rolled-in slices are
+    only read/written where no point ever lands. Measured at n = 39k,
+    G = 47k, 9-column block on TPU v5e: 1.17 ms vs 3.73 ms for the
+    per-corner sorted scatters and 6.9 ms for the flat unsorted form
+    (benchmarks/proto_mvm_variants.py v7/v1/v0) - this mvm is the
+    bottleneck of the off-lattice CG training iteration.
     """
     squeeze = v.ndim == 1
     if squeeze:
@@ -206,19 +211,28 @@ def ski_mvm(factors, idx, wgt, noise_plus_jitter, grid_shape, v,
     G = int(np.prod(grid_shape))
     S = idx.shape[1]
     if sorted_corners:
-        # W^T v: one sorted scatter-add per corner
-        u = jnp.zeros((G, b), v.dtype)
+        d = len(grid_shape)
+        n = v.shape[0]
+        idx0 = idx[:, 0]
+        bits = [[(s >> k) & 1 for k in range(d)] for s in range(S)]
+        dims = tuple(range(d))
+        # W^T v: ONE sorted scatter of all corners' contributions to the
+        # lower corner, then realize corner offsets as grid rolls
+        contrib = (wgt[:, :, None] * v[:, None, :]).reshape(n, S * b)
+        U0 = jnp.zeros((G, S * b), v.dtype).at[idx0].add(
+            contrib, indices_are_sorted=True, mode="promise_in_bounds")
+        Ug = U0.reshape(tuple(grid_shape) + (S, b))
+        acc = jnp.zeros(tuple(grid_shape) + (b,), v.dtype)
         for s in range(S):
-            u = u.at[idx[:, s]].add(
-                wgt[:, s, None] * v, indices_are_sorted=True,
-                mode="promise_in_bounds")
-        t = kron_mvm(factors, u.reshape(grid_shape + (b,)))
-        t = t.reshape(G, b)
-        # W t: one sorted gather per corner
-        out = noise_plus_jitter * v
-        for s in range(S):
-            out = out + wgt[:, s, None] * t.at[idx[:, s]].get(
-                indices_are_sorted=True, mode="promise_in_bounds")
+            acc = acc + jnp.roll(Ug[..., s, :], shift=bits[s], axis=dims)
+        t = kron_mvm(factors, acc)
+        # W t: pre-roll the grid per corner, ONE sorted gather
+        T = jnp.stack([jnp.roll(t, shift=[-x for x in bits[s]], axis=dims)
+                       for s in range(S)], axis=-2)
+        g = T.reshape(G, S * b).at[idx0].get(
+            indices_are_sorted=True, mode="promise_in_bounds")
+        out = jnp.sum(wgt[:, :, None] * g.reshape(n, S, b), axis=1)
+        out = out + noise_plus_jitter * v
         return out[:, 0] if squeeze else out
     # W^T v: scatter-add weighted rows into the grid
     contrib = wgt[:, :, None] * v[:, None, :]           # (n, S, b)
@@ -1324,6 +1338,54 @@ def make_grid_predictor(kernel, grids, grid_shape, cg_iters, precond_rank,
         return mean, var
 
     return predict
+
+
+def mgrid_exact_var_probe(kernel, p, grids, grid_shape, mask_flat,
+                          noise_pj, cells, cg_iters=256, rank=1024):
+    """EXACT posterior variance at a few probe cells of a masked grid, by
+    CG - the scale-proof cross-check for the rank-truncated Nystrom
+    variance (the Nystrom extension is prior-dominated when rank << n_obs,
+    so its quality cannot be judged from itself).
+
+    For lattice cell c: var_c = k(c,c) - (M k_c)^T A^-1 (M k_c), where
+    k_c = K[:, c] is a Kronecker column (outer product of per-dim kernel
+    columns - O(G) to build, no dense K) and A is the masked-grid
+    operator; masked rows decouple exactly, so this equals the dense
+    K_oo + noise I posterior variance at c. One batched split-PCG solve
+    over all probe columns. Returns (n_cells,) variances WITHOUT the
+    observation-noise term (add ``p['noise']`` for noiseless=False
+    parity). ``cells``: int array (n_cells, d) of per-dim grid indices.
+    """
+    factors = grid_kernel_factors(kernel, p, grids)
+    d = len(grids)
+    cells = np.asarray(cells)
+    n_c = cells.shape[0]
+    G = int(np.prod(grid_shape))
+    # Kronecker columns: k_c = outer_k factors[k][:, c_k], built via
+    # broadcasting per dim; (n_c, G) batch-first for the CG layout
+    cols = None
+    for k in range(d):
+        fk = factors[k][:, cells[:, k]].T          # (n_c, g_k)
+        cols = fk if cols is None else (cols[:, :, None]
+                                        * fk[:, None, :]).reshape(n_c, -1)
+    kss = kernel_self_diag(kernel, p, n_c, cols.dtype)
+    B = cols * mask_flat[None, :]
+    mvm = make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
+                               batch_first=True)
+    Qs, lam_n, _, _ = mgrid_split_root(
+        kernel, p, grids, grid_shape, mask_flat, rank, dim_cap=None)
+    pisqrt, _ = split_apply(Qs, lam_n, noise_pj, vec_axis=1)
+    X, _, _ = split_pcg(lambda v: mvm(p, noise_pj, v), pisqrt, B,
+                        cg_iters, vec_axis=1)
+    quad = jnp.sum(B * X, axis=1)
+    return jnp.maximum(kss - quad, 0.0)
+
+
+def kernel_self_diag(kernel, p, n, dtype):
+    """k(x, x) for the product-form grid kernels: the variance (the
+    per-dim factors are 1 at zero distance for every supported family)."""
+    del kernel
+    return jnp.full((n,), 1.0, dtype) * p["variance"]
 
 
 def mgrid_solve_core(kernel, p, grids, grid_shape, mask_flat, rank,

@@ -315,6 +315,41 @@ def test_mgrid_variance_calibrated_on_prior_sample():
     assert 0.55 <= cover <= 0.995, cover
 
 
+def test_mgrid_exact_var_probe_matches_dense():
+    """ski.mgrid_exact_var_probe (the CG-based exact-variance cross-check
+    the 1M suite gate uses) against the dense posterior variance on a
+    small masked lattice - this pins the probe itself so the at-scale
+    gate stands on verified ground."""
+    from gpim_tpu.ops import ski
+
+    rng = np.random.RandomState(3)
+    g1, g2 = 14, 12
+    axes = [np.arange(g1, dtype=np.float64),
+            np.arange(g2, dtype=np.float64)]
+    xx, yy = np.meshgrid(axes[0], axes[1], indexing="ij")
+    obs = rng.rand(g1, g2) < 0.6
+    ls_val, var_val, noise_pj = 2.0, 1.4, 0.05
+    p = {"lengthscale": jnp.asarray([ls_val, ls_val]),
+         "variance": jnp.asarray(var_val)}
+
+    def k(a, b):
+        d2 = (((a[:, None, :] - b[None, :, :]) / ls_val) ** 2).sum(-1)
+        return var_val * np.exp(-0.5 * d2)
+
+    X = np.stack([xx[obs], yy[obs]], -1)
+    Kd = k(X, X) + noise_pj * np.eye(len(X))
+    cells = np.stack([rng.randint(0, g1, 20), rng.randint(0, g2, 20)], -1)
+    Xc = cells.astype(np.float64)
+    Ks = k(Xc, X)
+    var_dense = var_val - np.einsum("ij,ji->i", Ks,
+                                    np.linalg.solve(Kd, Ks.T))
+    mask_flat = jnp.asarray(obs.astype(np.float64).ravel())
+    var_probe = np.asarray(ski.mgrid_exact_var_probe(
+        "RBF", p, [jnp.asarray(a) for a in axes], (g1, g2), mask_flat,
+        noise_pj, cells, cg_iters=256, rank=g1 * g2))
+    assert_allclose(var_probe, var_dense, rtol=1e-5, atol=1e-7)
+
+
 def test_mgrid_scattered_path_variance_vs_dense():
     """The scattered-point (non-Cartesian) predict fallback's
     Nystrom-extension variance against dense exact at full rank - the grid
