@@ -40,22 +40,29 @@ from gpim_tpu.gpreg.multi import _constrain_task as _constrain  # noqa: E402
 
 
 def _loss(u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds, jitter, *,
-          kernel, grid_shape, cg_iters, sorted_corners=False):
+          kernel, grid_shape, cg_iters, sorted_corners=False,
+          record_iters=False):
     core = ski.ski_mll(kernel, list(grids), grid_shape, idx, wgt,
-                       cg_iters, g0, sorted_corners=sorted_corners)
+                       cg_iters, g0, sorted_corners=sorted_corners,
+                       return_iters=record_iters)
     p = _constrain(u, bounds)
     yc = (y - p["mean"]) * mask_
     noise_pj = p["noise"] + jitter
     n_eff = jnp.sum(mask_)
     n_pad_ = y.shape[0]
     kp = {"lengthscale": p["lengthscale"], "variance": p["variance"]}
+    base = core(kp, noise_pj, yc, Qp, lam_n)
+    it = None
+    if record_iters:
+        base, it = base
     # the interval-transform log-Jacobian MAP term keeps the objective
     # identical to the dense path's (multi._iv_loss)
-    return (core(kp, noise_pj, yc, Qp, lam_n)
+    loss = (base
             + 0.5 * n_eff * _LOG_2PI
             - 0.5 * (n_pad_ - n_eff) * jnp.log(noise_pj)
             - interval_log_jacobian(
                 u["lengthscale"], bounds["ls_lo"], bounds["ls_hi"]))
+    return (loss, it) if record_iters else loss
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "rank"))
@@ -77,23 +84,33 @@ def _build_precond(u, grids, i0, w0, mask_, bounds, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "grid_shape", "cg_iters", "iterations", "sorted_corners"))
+    "kernel", "grid_shape", "cg_iters", "iterations", "sorted_corners",
+    "record_iters"))
 def _train_seg(u0, opt_state, Qp, lam_n, grids, idx, wgt, g0, y, mask_,
                bounds, lr, jitter, *, kernel, grid_shape, cg_iters,
-               iterations, sorted_corners=False):
+               iterations, sorted_corners=False, record_iters=False):
     opt = optax.adam(learning_rate=lr)
     lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
-                 cg_iters=cg_iters, sorted_corners=sorted_corners)
+                 cg_iters=cg_iters, sorted_corners=sorted_corners,
+                 record_iters=record_iters)
 
     def step(carry, _):
         u, opt_state = carry
-        loss, g = jax.value_and_grad(lf)(
-            u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds, jitter)
+        if record_iters:
+            (loss, cg_it), g = jax.value_and_grad(lf, has_aux=True)(
+                u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds,
+                jitter)
+        else:
+            loss, g = jax.value_and_grad(lf)(
+                u, grids, idx, wgt, Qp, lam_n, g0, y, mask_, bounds,
+                jitter)
         updates, opt_state = opt.update(g, opt_state, u)
         u = optax.apply_updates(u, updates)
         p = _constrain(u, bounds)
         rec = {"lengthscale": p["lengthscale"],
                "noise": p["noise"], "loss": loss}
+        if record_iters:
+            rec["cg_iters"] = cg_it
         return (u, opt_state), rec
 
     (u_final, opt_state), traj = jax.lax.scan(
@@ -185,15 +202,17 @@ class SKIEngine:
             zero = np.zeros((0,), self.dtype)
             return u, {"lengthscale": np.zeros((0, d), self.dtype),
                        "noise": zero, "loss": zero}
+        from gpim_tpu.utils.hostio import fetch_tree
         opt_state = optax.adam(1.0).init(u0)   # adam state is lr-independent
         trajs = []
         remaining = int(iterations)
-        # rebuild ramp: see MaskedGridEngine.train (a stale basis is most
-        # expensive in the first Adam steps)
-        ramp = 2
+        # adaptive rebuild cadence driven by realized CG iterations - the
+        # same economics as MaskedGridEngine.train (a rebuild pays for
+        # itself in ~10 saved CG iterations; the static ramp let counts
+        # climb between rebuilds exactly while hyperparameters moved)
+        s_next = 2
         while remaining > 0:
-            s = min(self.segment, remaining, ramp)
-            ramp = min(self.segment, ramp * 2)
+            s = min(s_next, remaining)
             Qp, lam_n = _build_precond(
                 u, self._grids, self._i0, self._w0, self._mask, bounds,
                 kernel=self.kernel, grid_shape=self.grid_shape,
@@ -203,11 +222,18 @@ class SKIEngine:
                 self._g0, y, mask_, bounds, lr, jitter,
                 kernel=self.kernel, grid_shape=self.grid_shape,
                 cg_iters=self.cg_iters, iterations=s,
-                sorted_corners=True)
+                sorted_corners=True, record_iters=True)
+            traj = fetch_tree(traj)
+            last_it = float(traj["cg_iters"][-1])
+            if last_it >= 16.0:
+                s_next = max(2, s // 2)
+            elif last_it <= 8.0:
+                s_next = min(self.segment, s * 2)
             trajs.append(traj)
             remaining -= s
         full = {k: np.concatenate([np.asarray(t[k]) for t in trajs])
                 for k in trajs[0]}
+        full.pop("cg_iters", None)
         return u, full
 
     def predict(self, u, y, mask, bounds, jitter, Xtest_clean, mesh=None):

@@ -797,7 +797,7 @@ def _make_mvm(kernel, grids, grid_shape, idx, wgt, sorted_corners=False):
 
 
 def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
-            sorted_corners=False):
+            sorted_corners=False, return_iters=False):
     """Returns loss_core(p, noise_pj, yc, Q, lam_n) = 0.5 yc^T A^-1 yc
     + 0.5 logdet A with split-preconditioned CG solves and trace-estimated
     custom gradients (the BBMM estimator family, Gardner et al. 2018 -
@@ -825,7 +825,8 @@ def ski_mll(kernel, grids, grid_shape, idx, wgt, cg_iters, g0,
     here."""
     return ski_mll_from_mvm(
         _make_mvm(kernel, grids, grid_shape, idx, wgt,
-                  sorted_corners=sorted_corners), cg_iters, g0)
+                  sorted_corners=sorted_corners), cg_iters, g0,
+        return_iters=return_iters)
 
 
 def ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=0, constrain=None,

@@ -38,8 +38,10 @@ def _drop_compiled_programs_between_files():
     combined volume of live compiled code differs. Dropping cache
     references at module teardown keeps the live-executable footprint
     bounded; the cost is re-compiling shared programs per file in an
-    already compile-bound suite. The accompanying repro/canary for the
-    underlying backend limit: ROUND4_NOTES.md item 1.
+    already compile-bound suite. Standalone repro (disables this
+    mitigation via GPIM_TPU_KEEP_COMPILED=1):
+    benchmarks/repro_cpu_compile_accumulation.sh.
     """
     yield
-    jax.clear_caches()
+    if not os.environ.get("GPIM_TPU_KEEP_COMPILED"):
+        jax.clear_caches()
