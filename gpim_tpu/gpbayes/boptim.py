@@ -467,9 +467,25 @@ class boptimizer:
         if self._fused_ok() and self.steps_done > start:
             # trailing posterior update: the reference loop retrains after
             # the LAST measurement too (boptim.py:449); the fused path
-            # deferred every other retrain into the next step's program
-            self._materialize()
-            self.update_posterior()
+            # deferred every other retrain into the next step's program.
+            # Run it device-resident (no trajectory fetch - _materialize
+            # below packs it into the final RPC) unless a mesh is in play,
+            # where the surrogate's own train() handles the sharding.
+            m = self.surrogate_model
+            m.update_data(self.X_sparse, self.y_sparse)
+            if m._mesh is not None:
+                self._materialize()
+                m.train(verbose=self.verbose,
+                        iterations=self.refit_iterations)
+            else:
+                u, traj = engine.train(
+                    m.u, m._Xd, m._yd, m._maskd, m._bounds(),
+                    jnp.asarray(m.learning_rate, m.dtype),
+                    jnp.asarray(m.jitter, m.dtype), kernel=m.kernel_type,
+                    iterations=int(self.refit_iterations),
+                    sparse=m.do_sparse)
+                m.u = u
+                m._traj_list.append(traj)
         self._materialize()
         self.save_results()
         if self.verbose:

@@ -219,6 +219,56 @@ def test_mgrid_warm_start_trains_to_same_fit():
 
 
 # --------------------------------------------------------------------------
+# item 6: one-scatter+roll mvm - adversarial boundary coverage
+# --------------------------------------------------------------------------
+
+def test_ski_mvm_one_scatter_roll_boundary_points():
+    """The adopted sorted mvm realizes corner offsets as grid ROLLS, whose
+    wrapped slices are safe only because build_interp clips i0 <=
+    size_k - 2. Pin that property adversarially: points exactly ON the
+    upper grid edge in every dim (plus the lower edge and random
+    interiors) must still match the dense operator bit-tight."""
+    from gpim_tpu.ops import ski
+
+    rng = np.random.RandomState(7)
+    grids = [np.linspace(-1.0, 5.0, 7), np.linspace(0.0, 3.0, 5),
+             np.linspace(2.0, 4.0, 4)]
+    gshape = tuple(len(g) for g in grids)
+    G = int(np.prod(gshape))
+    hi = np.asarray([g[-1] for g in grids])
+    lo = np.asarray([g[0] for g in grids])
+    X = np.concatenate([
+        np.tile(hi, (6, 1)),                       # exactly the top corner
+        np.tile(lo, (4, 1)),                       # exactly the bottom
+        lo + (hi - lo) * rng.rand(30, 3),          # interior
+        np.stack([np.full(5, hi[0]),               # top edge in dim 0 only
+                  lo[1] + (hi[1] - lo[1]) * rng.rand(5),
+                  lo[2] + (hi[2] - lo[2]) * rng.rand(5)], -1),
+    ])
+    idx, wgt = ski.build_interp(X, grids)
+    perm = np.argsort(idx[:, 0], kind="stable")
+    idx, wgt = idx[perm], wgt[perm]
+    p = {"lengthscale": jnp.asarray([1.5, 1.0, 0.8]),
+         "variance": jnp.asarray(1.2)}
+    factors = ski.grid_kernel_factors(
+        "RBF", p, [jnp.asarray(g) for g in grids])
+    noise = 0.07
+    v = jnp.asarray(rng.randn(len(X), 5))
+    out_sorted = ski.ski_mvm(factors, jnp.asarray(idx), jnp.asarray(wgt),
+                             noise, gshape, v, sorted_corners=True)
+    # dense reference: A = W K W^T + noise I with explicit W
+    Kfull = None
+    for f in factors:
+        f = np.asarray(f)
+        Kfull = f if Kfull is None else np.kron(Kfull, f)
+    W = np.zeros((len(X), G))
+    for i in range(len(X)):
+        W[i, idx[i]] += wgt[i]
+    ref = W @ Kfull @ (W.T @ np.asarray(v)) + noise * np.asarray(v)
+    assert_allclose(np.asarray(out_sorted), ref, rtol=5e-6, atol=5e-6)
+
+
+# --------------------------------------------------------------------------
 # item 5: Nystrom-extension variance - conservativeness and calibration
 # --------------------------------------------------------------------------
 
