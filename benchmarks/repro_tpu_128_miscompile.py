@@ -10,16 +10,24 @@ trajectory) go NaN, while the value-only program at the same shapes is
 finite and bit-reproducible. 127/129/96/64-sized dims never fail.
 ``optimization_barrier`` pins on the factor build and the sliced loop
 outputs fix reduced repros but NOT the full training program, so
-``MaskedGridEngine`` ships a +4-cell exact padding dodge
+``MaskedGridEngine`` shipped a +4-cell exact padding dodge
 (mgrid_model.py `__init__`; exactness proven by
 tests/test_ski.py::test_masked_grid_engine_128_padding_exact).
+
+Round 4 measured the bug HEALED on this backend (jax 0.9.0 / TPU v5
+lite: rel_param_gap 0.0035 at the trigger shape; the raw 1M program is
+healthy and 1.6x faster than its padded twin), so the dodge default is
+now OFF - ``pad_dodge=True`` / ``GPIM_TPU_PAD_DODGE=1`` re-enable it,
+and MaskedGridEngine.train raises an actionable error if a raw
+128-multiple trajectory ever goes non-finite.
 
 This script runs the UNPADDED program (``pad_dodge=False``) at the known
 trigger shape and reports:
 
     HEALED       - finite trajectory, matches the padded twin: the backend
-                   bug no longer manifests; the padding dodge can retire.
-    STILL-BROKEN - non-finite or divergent trajectory: keep the dodge.
+                   bug does not manifest; the retired default is safe.
+    STILL-BROKEN - non-finite or divergent trajectory: flip the
+                   ``pad_dodge`` default back to True.
 
 Run it on real TPU hardware (under the CPU backend it always reports
 HEALED - the bug is TPU-specific). benchmarks/suite.py calls
@@ -115,6 +123,7 @@ if __name__ == "__main__":
         status += " (CPU backend - not informative; run on TPU)"
     print(json.dumps(out, indent=2))
     print("128-multiple miscompile status:", status)
-    if out["healed"] and out["platform"] != "cpu":
-        print("-> the MaskedGridEngine padding dodge "
-              "(mgrid_model.py __init__) can retire.")
+    if not out["healed"] and out["platform"] != "cpu":
+        print("-> REGRESSION: flip MaskedGridEngine's pad_dodge default "
+              "(mgrid_model.py __init__) back to True, or set "
+              "GPIM_TPU_PAD_DODGE=1.")

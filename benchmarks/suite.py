@@ -380,9 +380,9 @@ def bench_eels64_parallel():
 def bench_tpu_128_canary():
     """Non-fatal canary: runs the UNPADDED 128-multiple masked-grid program
     (benchmarks/repro_tpu_128_miscompile.py) so every benchmarked round
-    records whether the TPU backend bug behind MaskedGridEngine's padding
-    dodge still manifests. 'healed: true' on a TPU backend means the dodge
-    can retire."""
+    records whether the TPU backend bug behind MaskedGridEngine's (now
+    retired-by-default) padding dodge manifests. 'healed: false' on a TPU
+    backend means flip the pad_dodge default back to True."""
     from repro_tpu_128_miscompile import run_canary
     out = run_canary(iterations=4)
     out["metric"] = "tpu_128_miscompile_canary"

@@ -28,6 +28,7 @@ re-read per CG iteration - the dense root exists only transiently inside
 the once-per-segment rebuild (ski.mgrid_split_root).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -324,24 +325,35 @@ class MaskedGridEngine:
 
     def __init__(self, kernel, axes, mask_grid, y_grid, dtype, *,
                  cg_iters=64, n_probes=8, precond_rank=None,
-                 segment=10, seed=0, mesh=None, pad_dodge=True):
+                 segment=10, seed=0, mesh=None, pad_dodge=None):
         self.kernel = kernel
         self.dtype = dtype
         self.mesh = mesh
-        # Dodge a TPU-backend miscompile: with any grid dim a multiple of
-        # 128, jitting value_and_grad of the masked-grid MLL corrupts the
-        # CG while_loop output (value-only programs are finite and
-        # bit-reproducible; 127/129/96/64-sized dims never fail; barriers
-        # on the factor build and the sliced loop outputs fix the minimal
-        # repros but not the full program). Padding is EXACT here, not an
+        # RETIRED TPU-miscompile dodge (kept as an escape hatch). Round 3
+        # observed a TPU-backend bug: with any grid dim a multiple of 128,
+        # jitting value_and_grad of the masked-grid MLL corrupted the CG
+        # while_loop output (NaN gradients; value-only programs were finite
+        # and bit-reproducible; 127/129/96/64-sized dims never failed). The
+        # workaround padded such dims by +4 masked cells - EXACT, not an
         # approximation: padded cells are masked, so A is block-diagonal
         # with an exact noise*I block whose logdet the MLL correction term
         # already subtracts, and CG gives alpha = 0 at padded cells.
-        # ``pad_dodge=False`` (canary/diagnostic use only - see
-        # benchmarks/repro_tpu_128_miscompile.py) runs the raw shapes so
-        # the backend bug's status can be probed on real hardware.
+        # Round 4 measured the bug HEALED (jax 0.9.0 / TPU v5 lite: canary
+        # rel_param_gap 0.0035 at the (128, 6) trigger shape, and the raw
+        # 1M program is healthy AND 1.6x faster than its padded twin - see
+        # benchmarks/RESULTS.md tpu_128_miscompile_canary and
+        # BASELINE_MEASURED.md), so padding is now OFF by default. Safety
+        # nets: tests/test_tpu_canary.py + the suite canary row announce a
+        # regression; train() raises an actionable error if a raw
+        # 128-multiple trajectory ever goes non-finite; force padding back
+        # on with pad_dodge=True or GPIM_TPU_PAD_DODGE=1 (the repro
+        # script passes pad_dodge explicitly either way).
+        if pad_dodge is None:
+            pad_dodge = os.environ.get("GPIM_TPU_PAD_DODGE", "0") == "1"
         axes = [np.asarray(a, dtype) for a in axes]
-        pads = [4 if pad_dodge and len(a) % 128 == 0 else 0 for a in axes]
+        mult128 = [len(a) % 128 == 0 for a in axes]
+        self._raw_mult128 = any(mult128) and not pad_dodge
+        pads = [4 if pad_dodge and m else 0 for a, m in zip(axes, mult128)]
         if any(pads):
             axes = [np.concatenate([a, a[-1] + (a[1] - a[0])
                                     * np.arange(1, p + 1, dtype=dtype)])
@@ -424,6 +436,16 @@ class MaskedGridEngine:
                 cg_iters=self.cg_iters, iterations=s, mesh=self.mesh,
                 record_iters=True, warm_start=warm_start)
             traj = fetch_tree(traj)
+            if self._raw_mult128 and not np.isfinite(traj["loss"]).all():
+                raise RuntimeError(
+                    "masked-grid training went non-finite on a grid with a "
+                    "128-multiple dim and padding disabled. This is the "
+                    "signature of the (retired) TPU-backend value_and_grad "
+                    "miscompile - see benchmarks/repro_tpu_128_miscompile.py. "
+                    "Re-enable the exact padding dodge with "
+                    "MaskedGridEngine(pad_dodge=True) or GPIM_TPU_PAD_DODGE=1 "
+                    "(if training also diverges WITH padding, the cause is "
+                    "numerical - lower the learning rate instead).")
             last_it = float(traj["cg_iters"][-1])
             if last_it >= 16.0:
                 s_next = max(2, s // 2)

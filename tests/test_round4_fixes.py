@@ -444,3 +444,49 @@ def test_mgrid_scattered_path_variance_vs_dense():
                - np.einsum("ij,ji->i", Ks, np.linalg.solve(Kd, Ks.T))
                + noise_val)
     assert_allclose(np.asarray(var_s), var_ref, rtol=0.05, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# pad-dodge retirement: default raw shapes, env escape hatch, loud guard
+# --------------------------------------------------------------------------
+
+def _tiny_128_engine(**kw):
+    from gpim_tpu.gpreg.mgrid_model import MaskedGridEngine
+    rng = np.random.RandomState(0)
+    axes = [np.arange(128, dtype=np.float64), np.arange(4, dtype=np.float64)]
+    Y = np.sin(axes[0][:, None] / 9.0) + 0.03 * rng.randn(128, 4)
+    Y[rng.rand(128, 4) < 0.5] = np.nan
+    return MaskedGridEngine("RBF", axes, ~np.isnan(Y), Y, np.float64,
+                            cg_iters=64, precond_rank=128, seed=0, **kw)
+
+
+def test_pad_dodge_retired_by_default(monkeypatch):
+    """The 128-multiple padding dodge retired in round 4 (backend healed;
+    see tests/test_tpu_canary.py): default engines run the RAW shape, the
+    GPIM_TPU_PAD_DODGE=1 env var forces padding back on, and explicit
+    kwargs win in both directions."""
+    monkeypatch.delenv("GPIM_TPU_PAD_DODGE", raising=False)
+    assert _tiny_128_engine()._pads == [0, 0]
+    assert _tiny_128_engine(pad_dodge=True)._pads == [4, 0]
+    monkeypatch.setenv("GPIM_TPU_PAD_DODGE", "1")
+    assert _tiny_128_engine()._pads == [4, 0]
+    assert _tiny_128_engine(pad_dodge=False)._pads == [0, 0]
+
+
+def test_raw_128_nonfinite_guard(monkeypatch):
+    """If a raw 128-multiple trajectory goes non-finite, train() raises the
+    actionable miscompile-signature error instead of returning NaNs."""
+    from gpim_tpu.kernels.transforms import interval_inverse, positive_inverse
+    monkeypatch.delenv("GPIM_TPU_PAD_DODGE", raising=False)
+    eng = _tiny_128_engine()
+    assert eng._raw_mult128
+    bounds = {"ls_lo": jnp.zeros(2), "ls_hi": jnp.full(2, 20.0)}
+    u = {"lengthscale": interval_inverse(jnp.full(2, 3.0),
+                                         bounds["ls_lo"], bounds["ls_hi"]),
+         "outputscale": positive_inverse(jnp.asarray(1.0)),
+         # NaN raw noise poisons the loss deterministically - the guard
+         # must catch it on the FIRST fetched segment
+         "noise": jnp.asarray(np.nan),
+         "mean": jnp.zeros(())}
+    with pytest.raises(RuntimeError, match="128-multiple"):
+        eng.train(u, bounds, 0.1, 1e-6, iterations=4)

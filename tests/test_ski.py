@@ -573,7 +573,7 @@ def test_masked_grid_engine_128_padding_exact():
 
     # full-rank Nystrom (capped to G inside) so the variance comparison is
     # not confounded by the slightly different padded/unpadded eigenbases
-    kw = dict(cg_iters=512, precond_rank=4096, seed=0)
+    kw = dict(cg_iters=512, precond_rank=4096, seed=0, pad_dodge=True)
     eng = MaskedGridEngine("RBF", axes, mask_grid, Ymask, np.float64, **kw)
     assert eng._pads == [4, 0]
     assert eng.grid_shape == (132, 6)

@@ -1,18 +1,21 @@
 """
 Canary for the TPU-backend 128-multiple miscompile (VERDICT r3 item 4).
 
-The padding dodge in MaskedGridEngine (mgrid_model.py __init__) works
-around a TPU-backend bug: value_and_grad of the masked-grid MLL corrupts
-the CG while_loop output when any grid dim is a multiple of 128. Nothing
-in the suite would announce when the backend heals (so the dodge can
-retire) - this canary does. It runs the UNPADDED program at the trigger
-shape via benchmarks/repro_tpu_128_miscompile.py and:
+MaskedGridEngine shipped a +4-cell exact padding dodge for a TPU-backend
+bug: value_and_grad of the masked-grid MLL corrupted the CG while_loop
+output when any grid dim was a multiple of 128. Round 4 measured the bug
+HEALED (jax 0.9.0 / TPU v5 lite - rel_param_gap 0.0035 at the trigger
+shape, raw 1M program healthy and 1.6x faster than padded), so the dodge
+is now OFF by default (mgrid_model.py __init__; pad_dodge=True /
+GPIM_TPU_PAD_DODGE=1 re-enables it). This canary now guards the
+RETIREMENT. It runs the unpadded program at the trigger shape via
+benchmarks/repro_tpu_128_miscompile.py and:
 
 - on CPU (the suite's forced platform): asserts the program is healthy -
-  the bug is TPU-specific, so a CPU failure would mean a REAL regression
+  the bug was TPU-specific, so a CPU failure would mean a REAL regression
   in the engine itself, not the backend;
-- on TPU: xfails while the backend is broken and XPASSes (strict) the day
-  it heals, flagging that the dodge can be removed.
+- on TPU: asserts the backend is still healed - a failure means the
+  miscompile is back and the default must flip to padded again.
 """
 
 import os
@@ -41,13 +44,13 @@ def test_unpadded_128_program_on_cpu():
     assert out["rel_param_gap"] < 0.05, out
 
 
-@pytest.mark.xfail(strict=True, reason=(
-    "TPU backend 128-multiple value_and_grad miscompile (observed round 3; "
-    "see benchmarks/repro_tpu_128_miscompile.py docstring for the version "
-    "stamp). An XPASS here means the backend healed: retire the padding "
-    "dodge in MaskedGridEngine.__init__ and this xfail together."))
 def test_unpadded_128_program_on_tpu():
+    """TPU backend: the miscompile healed (round 4) and the padding dodge
+    default retired with it - this asserts the backend STAYS healed. A
+    failure here means the 128-multiple value_and_grad bug is back on this
+    backend: flip MaskedGridEngine's pad_dodge default to True (or set
+    GPIM_TPU_PAD_DODGE=1) and re-xfail this test."""
     if jax.default_backend() == "cpu":
-        pytest.skip("needs real TPU hardware (bug is TPU-specific)")
+        pytest.skip("needs real TPU hardware (bug was TPU-specific)")
     out = _canary()
     assert out["healed"], out
