@@ -198,6 +198,11 @@ class boptimizer:
             sel[:self._n_test] = np.asarray(
                 self.mask, m.dtype).ravel()[:self._n_test]
         self._sel_mask_d = jnp.asarray(sel)
+        # per-step scalar constants, uploaded once (each jnp.asarray in the
+        # hot loop is a fresh tunnel transfer); refreshed if mutated
+        self._lr_host = float(m.learning_rate)
+        self._lr_d = jnp.asarray(self._lr_host, m.dtype)
+        self._jitter_d = jnp.asarray(m.jitter, m.dtype)
         self._n_flat = n_flat
 
     # ------------------------------------------------------------------
@@ -314,10 +319,12 @@ class boptimizer:
             chunks_d = meshmod.shard_chunk_rows(chunks_d, m._mesh)
             u, Xd, yd, maskd = meshmod.replicate(
                 (u, Xd, yd, maskd), m._mesh)
+        if float(m.learning_rate) != self._lr_host:
+            self._lr_host = float(m.learning_rate)
+            self._lr_d = jnp.asarray(self._lr_host, m.dtype)
         u_new, traj, mean, sd, small = _device_bo_step(
             u, Xd, yd, maskd, m._bounds(),
-            jnp.asarray(m.learning_rate, m.dtype),
-            jnp.asarray(m.jitter, m.dtype), chunks_d,
+            self._lr_d, self._jitter_d, chunks_d,
             jnp.asarray(obs), self._sel_mask_d,
             float(self.alpha), float(self.beta), float(self.xi),
             kernel=m.kernel_type, iterations=int(iterations),

@@ -222,7 +222,14 @@ class reconstructor:
         self._set_data(X_np, y_np)
 
     def _bounds(self):
-        return {k: jnp.asarray(v) for k, v in self._bounds_np.items()}
+        # memoized on the _bounds_np dict identity (rebound by load_state):
+        # the BO hot loop calls this once per exploration step, and through
+        # the axon tunnel every jnp.asarray is a fresh host->device transfer
+        if getattr(self, "_bounds_dev_src", None) is not self._bounds_np:
+            self._bounds_dev = {k: jnp.asarray(v)
+                                for k, v in self._bounds_np.items()}
+            self._bounds_dev_src = self._bounds_np
+        return self._bounds_dev
 
     def current_lengthscale(self):
         """Constrained lengthscale(s) from the current parameters - valid

@@ -173,7 +173,12 @@ class vreconstructor:
             self._maskd = None
 
     def _bounds(self):
-        return {k: jnp.asarray(v) for k, v in self._bounds_np.items()}
+        # memoized on dict identity (rebound by load_state) - see gpr._bounds
+        if getattr(self, "_bounds_dev_src", None) is not self._bounds_np:
+            self._bounds_dev = {k: jnp.asarray(v)
+                                for k, v in self._bounds_np.items()}
+            self._bounds_dev_src = self._bounds_np
+        return self._bounds_dev
 
     # ------------------------------------------------------------------
 
