@@ -98,6 +98,49 @@ def bench_bo_ei():
             "best_found": round(found, 4)}
 
 
+def bench_bo_ei_sim_device():
+    """#2b: same 25x25 EI exploration but with simulated measurements
+    (reference boptim.py:253-262 simulate_measurement mode), which takes
+    the zero-fetch device-resident loop (boptim._device_bo_explore): the
+    whole explore-measure-update scan runs as ONE jitted program with a
+    single small fetch at the end, so steps/s is bounded by compute, not
+    the ~25 ms/step tunnel RPC of the live-instrument loop."""
+    import gpim_tpu
+    from gpim_tpu import boptimizer, utils
+
+    def make():
+        np.random.seed(0)
+        x = np.arange(0, 25, 1.)
+        truth = np.exp(-((x[:, None] - 5.) ** 2 + (x - 10.) ** 2) / 20.0)
+        grid = np.full((25, 25), np.nan)
+        for i, j in np.random.randint(0, 25, (5, 2)):
+            grid[i, j] = truth[i, j]
+        X = utils.get_sparse_grid(grid)
+        Xf = utils.get_full_grid(grid)
+        return boptimizer(X, grid, Xf, None, acquisition_function="ei",
+                          exploration_steps=5 if QUICK else 30,
+                          gp_iterations=200, verbose=0,
+                          simulate_measurement=True, y_true=truth)
+
+    def run():
+        bo = make()
+        assert bo._device_explore_ok()
+        bo.run()
+        return bo
+
+    warm, bo = _timed(run)
+    found = float(np.nanmax(bo.target_func_vals[-1]))
+    steps = len(bo.indices_all)
+    if found < 0.95:
+        raise RuntimeError(
+            "simulated-device BO failed to find the optimum: best %.3f"
+            % found)
+    return {"metric": "bo25_ei_sim_device_wall", "value": round(warm, 3),
+            "unit": "s", "steps": steps,
+            "steps_per_s": round(steps / warm, 2),
+            "best_found": round(found, 4)}
+
+
 def bench_bepfm_3d_sparse():
     """#3: 32x32x102 sparse BEPFM cube (70.6% NaN), VFE sparse GP."""
     import gpim_tpu
@@ -432,7 +475,8 @@ def bench_component_tflops():
     return out
 
 
-BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bepfm_3d_sparse,
+BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bo_ei_sim_device,
+           bench_bepfm_3d_sparse,
            bench_eels_parallel, bench_eels64_parallel, bench_ckpfm_4d_ski,
            bench_ski_masked_3d, bench_mgrid_1m, bench_tpu_128_canary,
            bench_component_tflops]
