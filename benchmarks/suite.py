@@ -22,14 +22,28 @@ sys.path.insert(0, os.path.join(_ROOT, "examples"))
 import _data  # bundled-dataset resolution with synthetic fallbacks
 
 QUICK = "--quick" in sys.argv
+REPS = 1 if QUICK else 3
 
 
 def _timed(fn):
-    """Run twice (cold compile, then warm) and return (warm_seconds, out)."""
+    """Run once cold (compile), then ``REPS`` warm runs; return
+    (best_warm_seconds, out).
+
+    Min-over-reps, not a single warm run: the axon tunnel's per-fetch RPC
+    latency drifts between ~2 and ~60 ms on a timescale of minutes, and
+    rows with per-step host round trips (BO, the segment-fetch structured
+    trainers) can read 1.5-2x apart in back-to-back suite runs. The
+    minimum is the standard low-noise estimator of the fixed compute cost
+    under additive transport noise."""
     fn()
-    t0 = time.time()
-    out = fn()
-    return time.time() - t0, out
+    best, out = None, None
+    for _ in range(REPS):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return best, out
 
 
 def bench_spiral_2d():
