@@ -264,6 +264,80 @@ def _train_seg(u0, opt_state, Qp, lam_n, axes, mask_flat, g0, y_flat,
 
 
 @partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
+                                   "iterations", "segment", "rank"))
+def _train_fused(u0, opt_state0, axes, mask_flat, g0, y_flat, bounds, lr,
+                 jitter, *, kernel, grid_shape, cg_iters, iterations,
+                 segment, rank):
+    """The WHOLE adaptive-cadence training loop as ONE device program.
+
+    The host segment loop (MaskedGridEngine.train) pays 2 dispatches + 1
+    trajectory fetch per segment - ~30 tunnel round trips for a 30-iter
+    1M-cell run. Measured on TPU v5e at the 1M shape: warm train 5.5 ->
+    5.0 s in a healthy tunnel window, and (the larger point) the wall no
+    longer tracks the tunnel's RPC-latency drift, which made back-to-back
+    host-loop suite runs read 6.4 vs 9.4 s (benchmarks/suite.py _timed
+    docstring). Here the SAME schedule runs inside one lax.scan: a step
+    at a segment boundary adapts the next segment length from the
+    previous step's realized CG iterations (identical rule and
+    remaining-clamp as the host loop, so the rebuild points coincide
+    exactly) and rebuilds the split preconditioner under ``lax.cond``
+    (eigen-root only at boundaries). One dispatch, one trajectory fetch
+    per train() call. The cost is compile time for the giant program
+    (~9 min cold at the 1M shape through the tunnel, then persistently
+    cached) - hence the CPU-backend carve-out in train()'s auto rule.
+
+    The host loop remains for ``mesh`` training (its per-segment programs
+    carry the sharding constraints the partitioning tests pin) and for
+    the opt-in ``warm_start`` estimator.
+    """
+    opt = optax.adam(learning_rate=lr)
+    lf = partial(_loss, kernel=kernel, grid_shape=grid_shape,
+                 cg_iters=cg_iters, mesh=None, record_iters=True)
+
+    def rebuild(u):
+        return _build_precond(u, axes, mask_flat, bounds, kernel=kernel,
+                              grid_shape=grid_shape, rank=rank)
+
+    # segment 0 (length min(2, iterations), host parity) builds eagerly,
+    # which also gives the scan carry its (Qp, lam) pytree structure
+    Qp0, lam0 = rebuild(u0)
+    s0 = min(2, int(iterations))
+
+    def body(carry, i):
+        u, opt_state, Qp, lam, left, s_cur, s_next, prev_it = carry
+        at_boundary = left == 0
+        # host rule, applied with the previous step's realized count and
+        # the (remaining-clamped) length of the segment that just ended
+        s_next_new = jnp.where(
+            prev_it >= 16.0, jnp.maximum(2, s_cur // 2),
+            jnp.where(prev_it <= 8.0,
+                      jnp.minimum(segment, s_cur * 2), s_next))
+        s_new = jnp.minimum(s_next_new, iterations - i)
+        Qp, lam = jax.lax.cond(at_boundary, rebuild, lambda _: (Qp, lam),
+                               u)
+        s_cur = jnp.where(at_boundary, s_new, s_cur)
+        s_next = jnp.where(at_boundary, s_next_new, s_next)
+        left = jnp.where(at_boundary, s_new, left)
+        (loss, cg_it), g = jax.value_and_grad(lf, has_aux=True)(
+            u, axes, mask_flat, g0, Qp, lam, y_flat, bounds, jitter)
+        updates, opt_state = opt.update(g, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        p = _constrain(u, bounds)
+        rec = {"lengthscale": p["lengthscale"], "noise": p["noise"],
+               "loss": loss, "cg_iters": cg_it}
+        return (u, opt_state, Qp, lam, left - 1, s_cur, s_next,
+                jnp.asarray(cg_it, jnp.float32)), rec
+
+    carry0 = (u0, opt_state0, Qp0, lam0,
+              jnp.asarray(s0, jnp.int32), jnp.asarray(s0, jnp.int32),
+              jnp.asarray(2, jnp.int32),
+              jnp.asarray(12.0, jnp.float32))   # neutral: keeps s_next
+    (u_final, opt_state, *_), traj = jax.lax.scan(
+        body, carry0, jnp.arange(iterations, dtype=jnp.int32))
+    return u_final, opt_state, traj
+
+
+@partial(jax.jit, static_argnames=("kernel", "grid_shape", "cg_iters",
                                    "precond_rank", "mesh"))
 def _predict_grid(u, axes, mask_flat, y_flat, t_axes, bounds, jitter, *,
                   kernel, grid_shape, cg_iters, precond_rank, mesh=None):
@@ -393,7 +467,7 @@ class MaskedGridEngine:
     # -- the same train contract as SKIEngine.train -----------------------
 
     def train(self, u0, bounds, lr, jitter, *, iterations,
-              record_cg_iters=False, warm_start=False):
+              record_cg_iters=False, warm_start=False, fused=None):
         u = u0
         if int(iterations) <= 0:
             d = u0["lengthscale"].shape[0]
@@ -404,6 +478,42 @@ class MaskedGridEngine:
                 out["cg_iters"] = zero
             return u, out
         from gpim_tpu.utils.hostio import fetch_tree
+        if fused is None:
+            # auto: fused on accelerators (one dispatch/fetch per train,
+            # immune to tunnel-latency drift; compile is server-side and
+            # persistently cached). On CPU the giant single program costs
+            # minutes of local compile vs seconds for the per-segment
+            # programs - keep the host loop there (tests pass fused=True
+            # explicitly to pin schedule parity).
+            fused = (self.mesh is None and not warm_start
+                     and jax.default_backend() != "cpu")
+        if fused:
+            # one device program for the whole adaptive schedule (zero
+            # per-segment round trips; see _train_fused). Same schedule,
+            # same estimator - the host segment loop below remains for
+            # mesh training and the opt-in warm-start estimator.
+            u, _, traj = _train_fused(
+                u0, optax.adam(1.0).init(u0), self._axes, self._mask,
+                self._g0, self._y, bounds, lr, jitter, kernel=self.kernel,
+                grid_shape=self.grid_shape, cg_iters=self.cg_iters,
+                iterations=int(iterations), segment=int(self.segment),
+                rank=self.precond_rank)
+            traj = fetch_tree(traj)
+            if self._raw_mult128 and not np.isfinite(traj["loss"]).all():
+                raise RuntimeError(
+                    "masked-grid training went non-finite on a grid with "
+                    "a 128-multiple dim and padding disabled. This is the "
+                    "signature of the (retired) TPU-backend value_and_grad "
+                    "miscompile - see "
+                    "benchmarks/repro_tpu_128_miscompile.py. Re-enable the "
+                    "exact padding dodge with MaskedGridEngine("
+                    "pad_dodge=True) or GPIM_TPU_PAD_DODGE=1 (if training "
+                    "also diverges WITH padding, the cause is numerical - "
+                    "lower the learning rate instead).")
+            full = {k: np.asarray(v) for k, v in traj.items()}
+            if not record_cg_iters:
+                full.pop("cg_iters", None)
+            return u, full
         opt_state = optax.adam(1.0).init(u0)
         trajs = []
         remaining = int(iterations)

@@ -490,3 +490,34 @@ def test_raw_128_nonfinite_guard(monkeypatch):
          "mean": jnp.zeros(())}
     with pytest.raises(RuntimeError, match="128-multiple"):
         eng.train(u, bounds, 0.1, 1e-6, iterations=4)
+
+
+def test_mgrid_fused_train_matches_host_loop():
+    """The single-program adaptive train (mgrid_model._train_fused) must
+    replay the host segment loop exactly: same rebuild schedule (pinned
+    via the realized-CG-iteration series), same trajectory, same final
+    parameters. Tiny grid: the fused program's CPU compile is ~1 min."""
+    from gpim_tpu.gpreg.mgrid_model import MaskedGridEngine
+    from gpim_tpu.kernels.transforms import interval_inverse, positive_inverse
+    rng = np.random.RandomState(0)
+    axes = [np.arange(8, dtype=np.float64), np.arange(6, dtype=np.float64)]
+    Y = np.sin(axes[0][:, None] / 3.0) + 0.05 * rng.randn(8, 6)
+    Y[rng.rand(8, 6) < 0.4] = np.nan
+    eng = MaskedGridEngine("RBF", axes, ~np.isnan(Y), Y, np.float64,
+                           cg_iters=16, precond_rank=16, seed=0, segment=10)
+    bounds = {"ls_lo": jnp.zeros(2), "ls_hi": jnp.full(2, 30.0)}
+    u0 = {"lengthscale": interval_inverse(jnp.full(2, 2.0), bounds["ls_lo"],
+                                          bounds["ls_hi"]),
+          "outputscale": positive_inverse(jnp.asarray(1.0)),
+          "noise": positive_inverse(jnp.asarray(0.1)),
+          "mean": jnp.zeros(())}
+    u_f, tr_f = eng.train(u0, bounds, 0.1, 1e-6, iterations=7,
+                          record_cg_iters=True, fused=True)
+    u_h, tr_h = eng.train(u0, bounds, 0.1, 1e-6, iterations=7,
+                          record_cg_iters=True, fused=False)
+    assert (tr_f["cg_iters"].astype(int).tolist()
+            == tr_h["cg_iters"].astype(int).tolist())
+    assert_allclose(tr_f["loss"], tr_h["loss"], rtol=1e-9)
+    for k in u_f:
+        assert_allclose(np.asarray(u_f[k]), np.asarray(u_h[k]), rtol=1e-9,
+                        atol=1e-12)
