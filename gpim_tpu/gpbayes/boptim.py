@@ -87,7 +87,9 @@ def _device_bo_step(u0, Xd, yd, maskd, bounds, lr, jitter, chunks,
     macq = jnp.where(jnp.isnan(macq) | (sel_mask == 0), neg_inf, macq)
     vals, order = jax.lax.top_k(macq, k)
     # indices as floats so the whole candidate fetch packs into one
-    # same-dtype buffer (hostio.fetch_tree); exact for any real grid size
+    # same-dtype buffer (hostio.fetch_tree); exact only for flat grids
+    # below 2**24 cells under f32 (2**53 under f64) - _fused_ok gates
+    # f32 models on that bound, larger grids take the host path
     small = (vals, order.astype(vals.dtype),
              traj["lengthscale"][-1].reshape(-1))
     return u, traj, mean, sd, small
@@ -312,6 +314,9 @@ class boptimizer:
             sel[:self._n_test] = np.asarray(
                 self.mask, m.dtype).ravel()[:self._n_test]
         self._sel_mask_d = jnp.asarray(sel)
+        # the device paths can only ever select from the finite, nonzero
+        # mask entries (everything else is -inf in the masked acquisition)
+        self._n_candidates = int(np.count_nonzero(np.nan_to_num(sel)))
         # per-step scalar constants, uploaded once (each jnp.asarray in the
         # hot loop is a fresh tunnel transfer); refreshed if mutated
         self._lr_host = float(m.learning_rate)
@@ -412,7 +417,11 @@ class boptimizer:
         functions on a standard (non-super-resolved) full grid; custom
         callables and mismatched grids take the legacy host path."""
         return (self.acquisition_function in ("cb", "ei", "poi")
-                and self._n_test == int(np.prod(np.shape(self.y_sparse))))
+                and self._n_test == int(np.prod(np.shape(self.y_sparse)))
+                # candidate indices ride the one-buffer fetch as floats:
+                # exact only below 2**24 flat cells for f32 models
+                and (np.dtype(self.surrogate_model.dtype) != np.float32
+                     or self._n_flat < 2 ** 24))
 
     def _fused_step(self, iterations):
         """Retrain + acquisition + top-k in one device program, one fetch.
@@ -470,7 +479,12 @@ class boptimizer:
                 and not self.save_checkpoints
                 and self.surrogate_model._mesh is None
                 and self.steps_done == 0
-                and self.exploration_steps <= self._n_test
+                # each step retires one candidate; with an acquisition
+                # mask the pool is only the finite nonzero mask entries,
+                # NOT the whole test grid - past exhaustion every argmax
+                # of the all -inf acquisition would silently pick flat
+                # index 0 instead of the host path's exit_strategy
+                and self.exploration_steps <= self._n_candidates
                 and bool(np.isfinite(
                     np.asarray(self.y_true, dtype=float)).all()))
 

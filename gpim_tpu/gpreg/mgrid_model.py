@@ -464,6 +464,29 @@ class MaskedGridEngine:
         # are rows: see ski.batched_pcg on the TPU tiling economics)
         self._g0 = jnp.asarray(rng.choice(pm1, size=(n_probes, G)))
 
+    def _check_traj_finite(self, traj):
+        """Regression net for the (retired) 128-multiple pad dodge: raise an
+        actionable error if a raw 128-multiple training trajectory went
+        non-finite. The recorded loss is PRE-update for its step, so a
+        miscompiled (NaN) gradient on the FINAL Adam step leaves the loss
+        series finite while the returned parameters are NaN — the last
+        recorded lengthscale/noise entries are post-update and catch it."""
+        if not self._raw_mult128:
+            return
+        bad = (not np.isfinite(traj["loss"]).all()
+               or not np.isfinite(np.asarray(traj["lengthscale"][-1])).all()
+               or not np.isfinite(np.asarray(traj["noise"][-1])).all())
+        if bad:
+            raise RuntimeError(
+                "masked-grid training went non-finite on a grid with a "
+                "128-multiple dim and padding disabled. This is the "
+                "signature of the (retired) TPU-backend value_and_grad "
+                "miscompile - see benchmarks/repro_tpu_128_miscompile.py. "
+                "Re-enable the exact padding dodge with "
+                "MaskedGridEngine(pad_dodge=True) or GPIM_TPU_PAD_DODGE=1 "
+                "(if training also diverges WITH padding, the cause is "
+                "numerical - lower the learning rate instead).")
+
     # -- the same train contract as SKIEngine.train -----------------------
 
     def train(self, u0, bounds, lr, jitter, *, iterations,
@@ -499,17 +522,7 @@ class MaskedGridEngine:
                 iterations=int(iterations), segment=int(self.segment),
                 rank=self.precond_rank)
             traj = fetch_tree(traj)
-            if self._raw_mult128 and not np.isfinite(traj["loss"]).all():
-                raise RuntimeError(
-                    "masked-grid training went non-finite on a grid with "
-                    "a 128-multiple dim and padding disabled. This is the "
-                    "signature of the (retired) TPU-backend value_and_grad "
-                    "miscompile - see "
-                    "benchmarks/repro_tpu_128_miscompile.py. Re-enable the "
-                    "exact padding dodge with MaskedGridEngine("
-                    "pad_dodge=True) or GPIM_TPU_PAD_DODGE=1 (if training "
-                    "also diverges WITH padding, the cause is numerical - "
-                    "lower the learning rate instead).")
+            self._check_traj_finite(traj)
             full = {k: np.asarray(v) for k, v in traj.items()}
             if not record_cg_iters:
                 full.pop("cg_iters", None)
@@ -546,16 +559,7 @@ class MaskedGridEngine:
                 cg_iters=self.cg_iters, iterations=s, mesh=self.mesh,
                 record_iters=True, warm_start=warm_start)
             traj = fetch_tree(traj)
-            if self._raw_mult128 and not np.isfinite(traj["loss"]).all():
-                raise RuntimeError(
-                    "masked-grid training went non-finite on a grid with a "
-                    "128-multiple dim and padding disabled. This is the "
-                    "signature of the (retired) TPU-backend value_and_grad "
-                    "miscompile - see benchmarks/repro_tpu_128_miscompile.py. "
-                    "Re-enable the exact padding dodge with "
-                    "MaskedGridEngine(pad_dodge=True) or GPIM_TPU_PAD_DODGE=1 "
-                    "(if training also diverges WITH padding, the cause is "
-                    "numerical - lower the learning rate instead).")
+            self._check_traj_finite(traj)
             last_it = float(traj["cg_iters"][-1])
             if last_it >= 16.0:
                 s_next = max(2, s // 2)
