@@ -27,13 +27,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpim_tpu.gpreg import multi
+from gpim_tpu.parallel.distributed import fetch, put_with
 
 __all__ = ["make_mesh_2d", "shard_multitask", "train_step_sharded",
            "predict_sharded", "dryrun"]
 
 
 def make_mesh_2d(n_devices=None, task_axis=None):
-    """A (task, grid) mesh over the available devices.
+    """A (task, grid) mesh over the available devices. ``jax.devices()``
+    is global, so under ``parallel.distributed`` this spans all processes.
 
     ``task_axis`` devices shard output channels; the rest shard prediction
     grid rows. Defaults to the squarest split with task-major preference.
@@ -61,16 +63,16 @@ def shard_multitask(u, X, Y, mask, mesh):
     col_task = NamedSharding(mesh, P(None, "task"))
     repl = NamedSharding(mesh, P())
     u_sh = {
-        "lengthscale": jax.device_put(u["lengthscale"],
-                                      NamedSharding(mesh, P("task", None))),
-        "outputscale": jax.device_put(u["outputscale"], task),
-        "noise": jax.device_put(u["noise"], task),
-        "mean": jax.device_put(u["mean"], task),
+        "lengthscale": put_with(u["lengthscale"],
+                                NamedSharding(mesh, P("task", None))),
+        "outputscale": put_with(u["outputscale"], task),
+        "noise": put_with(u["noise"], task),
+        "mean": put_with(u["mean"], task),
     }
     return (u_sh,
-            jax.device_put(X, repl),
-            jax.device_put(Y, col_task),
-            jax.device_put(mask, repl))
+            put_with(X, repl),
+            put_with(Y, col_task),
+            put_with(mask, repl))
 
 
 def train_step_sharded(u, X, Y, mask, bounds, lr, jitter, *,
@@ -88,16 +90,24 @@ def predict_sharded(u, X, Y, mask, bounds, jitter, Xtest, mesh, *,
     """Sharded prediction: test rows shard over 'grid' inside each chunk
     (replicated instead when the chunk size does not divide the grid axis,
     e.g. on 3- or 6-device meshes)."""
+    from gpim_tpu.parallel import mesh as meshmod
     from gpim_tpu.gpreg import engine
     chunks, n_test = engine.chunk_rows(np.asarray(Xtest), chunk)
     if chunks.shape[1] % mesh.shape["grid"] == 0:
         rows_grid = NamedSharding(mesh, P(None, "grid", None))
     else:
+        meshmod._warn_replicated_once(
+            "prediction tiles of %d rows do not divide the %d-device "
+            "'grid' mesh axis - prediction runs REPLICATED (every device "
+            "computes all rows). Use a device count that divides the "
+            "chunk size (e.g. a power of two) to shard it."
+            % (chunks.shape[1], mesh.shape["grid"]))
         rows_grid = NamedSharding(mesh, P())
-    chunks_d = jax.device_put(jnp.asarray(chunks), rows_grid)
+    chunks_d = put_with(np.asarray(chunks), rows_grid)
     mean, var = multi.predict_independent(
         u, X, Y, mask, bounds, jitter, chunks_d, kernel=kernel)
-    return np.asarray(mean)[:n_test], np.asarray(var)[:n_test]
+    mean, var = fetch(mean), fetch(var)
+    return mean[:n_test], var[:n_test]
 
 
 _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
@@ -209,7 +219,7 @@ def dryrun(n_devices):
         mean, var = predict_sharded(
             u_next, X_sh, Y_sh, mask_sh, bounds, jnp.asarray(1e-4, dtype),
             Xt, mesh, kernel="RBF", chunk=32)
-    loss = np.asarray(traj["loss"])
+    loss = fetch(traj["loss"])
     assert np.isfinite(loss).all(), loss
     assert np.isfinite(mean).all()
     # partition-regression probe: numerics parity alone cannot catch a

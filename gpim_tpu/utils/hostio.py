@@ -27,6 +27,16 @@ def fetch_tree(tree):
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+           for l in leaves):
+        # multi-process run (parallel.distributed): process-spanning leaves
+        # cannot be exported directly - gather them to every host first.
+        # This is a collective path, so fetch_tree must be called by every
+        # process on the same tree (SPMD programs do, by construction).
+        from gpim_tpu.parallel.distributed import fetch
+        return jax.tree_util.tree_unflatten(
+            treedef, [fetch(l) if isinstance(l, jax.Array) else np.asarray(l)
+                      for l in leaves])
     dev = [isinstance(l, jax.Array) for l in leaves]
     if sum(dev) <= 1 or len({l.dtype for l, d in zip(leaves, dev) if d}) != 1:
         return jax.tree_util.tree_unflatten(
