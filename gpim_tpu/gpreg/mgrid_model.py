@@ -487,6 +487,53 @@ class MaskedGridEngine:
                 "(if training also diverges WITH padding, the cause is "
                 "numerical - lower the learning rate instead).")
 
+    def train_memory_analysis(self, u0, bounds, lr, jitter, *,
+                              iterations=30):
+        """Compiled-program memory accounting of the fused training program
+        at this engine's exact shapes (the HBM evidence behind the
+        benchmarks/mgrid_scaling.py frontier sweep): lowers _train_fused
+        and returns the backend's memory_analysis fields in bytes, plus
+        the analytic model of the dominant buffers (CG batch state, probe
+        block, grid vectors, trajectory) for cross-checking. Compile-only:
+        never executes the program."""
+        lowered = _train_fused.lower(
+            u0, optax.adam(1.0).init(u0), self._axes, self._mask,
+            self._g0, self._y, bounds, lr, jitter, kernel=self.kernel,
+            grid_shape=self.grid_shape, cg_iters=self.cg_iters,
+            iterations=int(iterations), segment=int(self.segment),
+            rank=self.precond_rank)
+        out = {"G": int(np.prod(self.grid_shape)),
+               "grid_shape": tuple(self.grid_shape),
+               "rank": self.precond_rank,
+               "n_probes": int(self._g0.shape[0]),
+               "itemsize": int(np.dtype(self.dtype).itemsize)}
+        G, p, isz = out["G"], out["n_probes"], out["itemsize"]
+        # analytic model (see ski.split_pcg / mgrid_split_root): the
+        # (1 rhs + p probes) batched split-CG carries x/r/z/pdir buffers of
+        # (p+1, G); the preconditioner is FACTORED (per-dim Us + (r, r) C -
+        # no (G, r) matrix); grid-resident vectors: y, mask, probe block.
+        out["analytic_bytes"] = {
+            "cg_state_4x(p+1)G": 4 * (p + 1) * G * isz,
+            "probe_block_pG": p * G * isz,
+            "grid_vectors_y_mask": 2 * G * isz,
+            "precond_factored_rr": (self.precond_rank ** 2 * isz
+                                    + sum(len(a) * min(len(a), 4096) * isz
+                                          for a in self.axes_np)),
+            "trajectory_per_iter": (int(iterations)
+                                    * (2 + len(self.axes_np)) * isz),
+        }
+        try:
+            ma = lowered.compile().memory_analysis()
+            for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    out[k] = int(v)
+        except Exception as e:   # backend without memory_analysis support
+            out["memory_analysis_error"] = repr(e)[:120]
+        return out
+
     # -- the same train contract as SKIEngine.train -----------------------
 
     def train(self, u0, bounds, lr, jitter, *, iterations,

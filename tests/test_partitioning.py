@@ -264,3 +264,34 @@ def test_dryrun_partition_probe():
     execution (sharded output or collectives)."""
     ok = multichip.assert_partitioned_predict(multichip.make_mesh_2d(8))
     assert ok
+
+
+def test_per_device_memory_shrinks_with_mesh():
+    """What n chips buys (VERDICT r4 next #3): the compiled SPMD programs
+    must show per-device memory that SHRINKS with the mesh, not just
+    collectives. memory_analysis() reports per-device sizes; at 8 devices
+    the task-sharded multitask step and the 'grid'-sharded mgrid segment
+    must both cut their per-device argument footprint by >= 3x and temp
+    by >= 2x vs the 1-device compile (reduced shapes here; the 1M-shape
+    numbers live in benchmarks/BASELINE_MEASURED.md via
+    benchmarks/multichip_memory.py)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      "..", "benchmarks"))
+    from multichip_memory import (mgrid_train_memory,
+                                  multitask_train_memory)
+
+    # n=2112: per-task (n, n) solves dominate temp, so sharding is visible
+    # (at small n fixed task-independent buffers mask the ratio)
+    mt1 = multitask_train_memory(1, T=64, n=2112)
+    mt8 = multitask_train_memory(8, T=64, n=2112)
+    assert mt8["collectives"].get("all-reduce", 0) >= 1
+    assert mt8["argument_size_in_bytes"] * 3 <= mt1["argument_size_in_bytes"]
+    assert mt8["temp_size_in_bytes"] * 2 <= mt1["temp_size_in_bytes"]
+
+    mg1 = mgrid_train_memory(1, shape=(32, 32, 16), precond_rank=128)
+    mg8 = mgrid_train_memory(8, shape=(32, 32, 16), precond_rank=128)
+    assert sum(mg8["collectives"].values()) >= 1
+    assert mg8["argument_size_in_bytes"] * 3 <= mg1["argument_size_in_bytes"]
+    assert mg8["temp_size_in_bytes"] * 2 <= mg1["temp_size_in_bytes"]
