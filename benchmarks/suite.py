@@ -27,15 +27,23 @@ REPS = 1 if QUICK else 3
 
 def _timed(fn):
     """Run once cold (compile), then ``REPS`` warm runs; return
-    (best_warm_seconds, out).
+    (best_warm_seconds, out, compile_s).
 
     Min-over-reps, not a single warm run: the axon tunnel's per-fetch RPC
     latency drifts between ~2 and ~60 ms on a timescale of minutes, and
     rows with per-step host round trips (BO, the segment-fetch structured
     trainers) can read 1.5-2x apart in back-to-back suite runs. The
     minimum is the standard low-noise estimator of the fixed compute cost
-    under additive transport noise."""
+    under additive transport noise.
+
+    compile_s = first-call wall minus best warm wall: trace + lower +
+    compile (or persistent-cache load) overhead per shape bucket. Reported
+    per row so lowering/compile-time regressions are visible round over
+    round (the round-3 full-suite SIGSEGV was a compile-side pathology the
+    warm numbers could never show)."""
+    t0 = time.time()
     fn()
+    cold = time.time() - t0
     best, out = None, None
     for _ in range(REPS):
         t0 = time.time()
@@ -43,7 +51,7 @@ def _timed(fn):
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
-    return best, out
+    return best, out, round(max(cold - best, 0.0), 2)
 
 
 def bench_spiral_2d():
@@ -63,7 +71,7 @@ def bench_spiral_2d():
         model_box["m"] = m
         return m.run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     obs = ~np.isnan(R)
     rmse = float(np.sqrt(np.mean((mean[obs] - R[obs]) ** 2)))
     # effective training throughput: per-iteration model flops of the
@@ -72,7 +80,7 @@ def bench_spiral_2d():
     n_pad = int(model_box["m"]._Xd.shape[0])
     flops = iters * (n_pad ** 3 * (1.0 / 3 + 1.0 / 3 + 1.0))
     return {"metric": "spiral128_exactgp_recon_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "rmse_obs": round(rmse, 4),
+            "unit": "s", "compile_s": compile_s, "iterations": iters, "rmse_obs": round(rmse, 4),
             "train_eff_tflops": round(flops / warm / 1e12, 2)}
 
 
@@ -103,11 +111,11 @@ def bench_bo_ei():
         bo.run()
         return bo
 
-    warm, bo = _timed(run)
+    warm, bo, compile_s = _timed(run)
     found = float(np.nanmax(bo.target_func_vals[-1]))
     steps = len(bo.indices_all)
     return {"metric": "bo25_ei_explore_wall", "value": round(warm, 3),
-            "unit": "s", "steps": steps,
+            "unit": "s", "compile_s": compile_s, "steps": steps,
             "steps_per_s": round(steps / warm, 2),
             "best_found": round(found, 4)}
 
@@ -142,7 +150,7 @@ def bench_bo_ei_sim_device():
         bo.run()
         return bo
 
-    warm, bo = _timed(run)
+    warm, bo, compile_s = _timed(run)
     found = float(np.nanmax(bo.target_func_vals[-1]))
     steps = len(bo.indices_all)
     if found < 0.95:
@@ -150,9 +158,59 @@ def bench_bo_ei_sim_device():
             "simulated-device BO failed to find the optimum: best %.3f"
             % found)
     return {"metric": "bo25_ei_sim_device_wall", "value": round(warm, 3),
-            "unit": "s", "steps": steps,
+            "unit": "s", "compile_s": compile_s, "steps": steps,
             "steps_per_s": round(steps / warm, 2),
             "best_found": round(found, 4)}
+
+
+def bench_bo_batch():
+    """#2c: batch BO - batch_update=True selects a lengthscale-SPACED batch
+    of measurement points per step (reference boptim.py:326-376 cKDTree
+    ball-query semantics; here the native C++ spatial ball query,
+    gpim_tpu/native/spatial.cpp). Parity is pinned by
+    tests/test_reference_parity.py:141-167; this row gives the path a
+    throughput receipt: steps/s AND measured points/s."""
+    import gpim_tpu
+    from gpim_tpu import boptimizer, utils
+
+    def make():
+        np.random.seed(0)
+
+        def trial(idx):
+            return float(np.exp(-((idx[0] - 5.) ** 2 +
+                                  (idx[1] - 10.) ** 2) / 20.0))
+
+        grid = np.full((25, 25), np.nan)
+        for i, j in np.random.randint(0, 25, (5, 2)):
+            grid[i, j] = trial((i, j))
+        X = utils.get_sparse_grid(grid)
+        Xf = utils.get_full_grid(grid)
+        return boptimizer(X, grid, Xf, target_function=trial,
+                          acquisition_function="cb",
+                          exploration_steps=2 if QUICK else 10,
+                          batch_update=True, batch_size=50,
+                          batch_out_max=8,
+                          gp_iterations=200, verbose=0)
+
+    def run():
+        bo = make()
+        bo.run()
+        return bo
+
+    warm, bo, compile_s = _timed(run)
+    steps = int(bo.steps_done)
+    points = len(bo.indices_all)
+    if points <= steps:
+        raise RuntimeError(
+            "batch BO measured %d points over %d steps - batch selection "
+            "degenerated to single-point" % (points, steps))
+    return {"metric": "bo25_batch_explore_wall", "value": round(warm, 3),
+            "unit": "s", "compile_s": compile_s, "steps": steps,
+            "points": points,
+            "steps_per_s": round(steps / warm, 2),
+            "points_per_s": round(points / warm, 2),
+            "best_found": round(float(np.nanmax(
+                bo.target_func_vals[-1])), 4)}
 
 
 def bench_bepfm_3d_sparse():
@@ -175,7 +233,7 @@ def bench_bepfm_3d_sparse():
         model_box["m"] = m
         return m.run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     tnorm = (truth - truth.min()) / np.ptp(truth)
     mnorm = (mean - truth.min()) / np.ptp(truth)
     rmse = float(np.sqrt(np.mean((mnorm - tnorm) ** 2)))
@@ -183,7 +241,7 @@ def bench_bepfm_3d_sparse():
     n_pad = int(model_box["m"]._Xd.shape[0])
     flops = iters * 4.0 * n_pad * 1000 ** 2
     return {"metric": "bepfm3d_vfe_recon_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters,
+            "unit": "s", "compile_s": compile_s, "iterations": iters,
             "rmse_vs_truth": round(rmse, 4),
             "train_eff_tflops": round(flops / warm / 1e12, 2)}
 
@@ -210,10 +268,10 @@ def bench_eels_parallel():
         return vreconstructor(X, Y, Xd, kernel="RBF", independent=True,
                               iterations=iters, verbose=0).run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     obs = ~np.isnan(Y)
     return {"metric": "eels6_parallel_gp_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "channels": 6,
+            "unit": "s", "compile_s": compile_s, "iterations": iters, "channels": 6,
             "pred_grid": list(mean.shape)}
 
 
@@ -231,10 +289,10 @@ def bench_ckpfm_4d_ski():
                                lengthscale=[1.0, 3.0],
                                iterations=iters, verbose=0).run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     rmse = float(np.sqrt(np.nanmean((mean - R) ** 2)))
     return {"metric": "ckpfm4d_ski_recon_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "rmse_fit": round(rmse, 4)}
+            "unit": "s", "compile_s": compile_s, "iterations": iters, "rmse_fit": round(rmse, 4)}
 
 
 def bench_ski_masked_3d():
@@ -263,27 +321,26 @@ def bench_ski_masked_3d():
                                learning_rate=0.1, iterations=iters,
                                verbose=0).run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     rmse = float(np.sqrt(np.mean((mean.reshape(shape) - f) ** 2)))
     n_obs = int((~np.isnan(R)).sum())
     return {"metric": "ski_masked64x64x32_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "n_obs": n_obs,
+            "unit": "s", "compile_s": compile_s, "iterations": iters, "n_obs": n_obs,
             "s_per_iter": round(warm / iters, 3),
             "rmse_vs_truth": round(rmse, 4)}
 
 
-def bench_mgrid_1m():
-    """#7: reference-scale structured GP - a 1,048,576-point 128x128x64
-    masked cube (70% of spectra removed, ~315k observed values), trained
-    and predicted through the masked-grid Kronecker engine (the regime of
-    the reference's headline '128 x 128' BEPFM map, skgpr.py:436-440 and
-    BASELINE.md, far beyond dense-GP reach). Sanity is cross-checked
-    against an exact GP trained on a 4k subsample of the observed points:
-    the two posterior means must agree to a fraction of the data sd."""
+def _bench_mgrid_masked(shape, metric, iters_full=30):
+    """Shared body of the masked-cube structured-GP rows (#7/#7b): 70% of
+    (x, y) spectra removed, trained and predicted through the masked-grid
+    Kronecker engine (the regime of the reference's headline '128 x 128'
+    BEPFM map, skgpr.py:436-440 and BASELINE.md, far beyond dense-GP
+    reach). Sanity is cross-checked against an exact GP trained on a 4k
+    subsample of the observed points: the two posterior means must agree
+    to a fraction of the data sd."""
     import gpim_tpu
     from gpim_tpu import utils, skreconstructor, reconstructor
     rng = np.random.RandomState(0)
-    shape = (128, 128, 64)
     ax = [np.arange(s, dtype=np.float64) for s in shape]
     xx, yy, zz = np.meshgrid(*ax, indexing="ij")
     f = (np.sin(xx / 9.0) * np.cos(yy / 11.0)
@@ -295,7 +352,7 @@ def bench_mgrid_1m():
     R.reshape(-1, shape[2])[sites] = np.nan
     X = utils.get_sparse_grid(R)
     Xf = utils.get_full_grid(R)
-    iters = 3 if QUICK else 30
+    iters = 3 if QUICK else iters_full
 
     eng_box = {}
 
@@ -305,7 +362,7 @@ def bench_mgrid_1m():
         eng_box["m"] = m
         return m.run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     assert eng_box["m"]._mgrid_engine is not None
     rmse = float(np.sqrt(np.mean((mean.reshape(shape) - f) ** 2)))
     n_obs = int((~np.isnan(R)).sum())
@@ -332,8 +389,8 @@ def bench_mgrid_1m():
     sd_data = float(np.nanstd(R))
     if rmse >= 0.15 * sd_data or dis >= 0.15 * sd_data:
         raise RuntimeError(
-            "mgrid 1M quality gate failed: rmse=%.4f xcheck=%.4f at data "
-            "sd %.4f" % (rmse, dis, sd_data))
+            "%s quality gate failed: rmse=%.4f xcheck=%.4f at data "
+            "sd %.4f" % (metric, rmse, dis, sd_data))
     # VARIANCE gates (round-3 lesson: unchecked outputs can look
     # plausible; the mean gate alone says nothing about the sd, reference
     # fast_pred_var contract skgpr.py:285). Two checks, both raised:
@@ -357,8 +414,8 @@ def bench_mgrid_1m():
     cov_uno = float(np.mean(np.abs(z_uno) < 1.0))
     if cov_obs < 0.55 or cov_uno < 0.55:
         raise RuntimeError(
-            "mgrid 1M variance gate failed: 1-sigma coverage obs=%.3f "
-            "unobs=%.3f (overconfident sd)" % (cov_obs, cov_uno))
+            "%s variance gate failed: 1-sigma coverage obs=%.3f "
+            "unobs=%.3f (overconfident sd)" % (metric, cov_obs, cov_uno))
     from gpim_tpu.ops import ski as ski_ops
     from gpim_tpu.gpreg.multi import _constrain_task
     m1 = eng_box["m"]
@@ -380,12 +437,12 @@ def bench_mgrid_1m():
     ratio = (sd_at ** 2) / np.maximum(var_ex, 1e-12)
     if (ratio < 0.8).any():
         raise RuntimeError(
-            "mgrid 1M variance gate failed: model sd^2 below the exact "
+            "%s variance gate failed: model sd^2 below the exact "
             "posterior variance at %d/64 probe cells (min ratio %.3f) - "
-            "overconfident uncertainty" % (int((ratio < 0.8).sum()),
+            "overconfident uncertainty" % (metric, int((ratio < 0.8).sum()),
                                            float(ratio.min())))
-    return {"metric": "mgrid_masked128x128x64_wall",
-            "value": round(warm, 3), "unit": "s", "iterations": iters,
+    return {"metric": metric,
+            "value": round(warm, 3), "unit": "s", "compile_s": compile_s, "iterations": iters,
             "n_grid": int(np.prod(shape)), "n_obs": n_obs,
             "s_per_iter": round(warm / iters, 3),
             "rmse_vs_truth": round(rmse, 4),
@@ -395,6 +452,28 @@ def bench_mgrid_1m():
             "sd2_vs_exact_ratio_min": round(float(ratio.min()), 3),
             "sd2_vs_exact_ratio_median": round(float(np.median(ratio)), 2),
             "data_sd": round(float(np.nanstd(R)), 4)}
+
+
+def bench_mgrid_1m():
+    """#7: the reference-headline-scale row - 1,048,576 cells (128x128x64),
+    ~315k observed values."""
+    return _bench_mgrid_masked((128, 128, 64),
+                               "mgrid_masked128x128x64_wall")
+
+
+def bench_mgrid_4m():
+    """#7b: single-chip memory-frontier row - 4,194,304 cells (256x256x64,
+    4x the reference-scale row, ~1.26M observed values) through the same
+    gates. The G-vs-s/iter scaling curve and the HBM accounting behind
+    this row live in benchmarks/mgrid_scaling.py +
+    benchmarks/BASELINE_MEASURED.md."""
+    # iters_full=10 (not 30): one fused 30-iteration program at 4.2M
+    # cells reproducibly crashes the TPU worker (fresh process, cold run;
+    # the 10-iteration program executes fine at 43 s warm) - recorded in
+    # BASELINE_MEASURED.md "single-chip frontier" with the scaling curve
+    return _bench_mgrid_masked((256, 256, 64),
+                               "mgrid_masked256x256x64_wall",
+                               iters_full=10)
 
 
 def bench_eels64_parallel():
@@ -422,14 +501,14 @@ def bench_eels64_parallel():
         return vreconstructor(X, Y, Xf, kernel="RBF", independent=True,
                               iterations=iters, verbose=0).run()
 
-    warm, (mean, sd, hp) = _timed(run)
+    warm, (mean, sd, hp), compile_s = _timed(run)
     obs = ~np.isnan(Y)
     rmse = float(np.sqrt(np.mean(
         (mean.reshape(g, g, T)[obs] - fields[obs]) ** 2)))
     if rmse >= 0.5 * float(np.nanstd(Y)):
         raise RuntimeError("eels64 quality gate failed: rmse=%.4f" % rmse)
     return {"metric": "eels64_parallel_gp_wall", "value": round(warm, 3),
-            "unit": "s", "iterations": iters, "channels": T,
+            "unit": "s", "compile_s": compile_s, "iterations": iters, "channels": T,
             "channel_iters_per_s": round(T * iters / warm, 1),
             "rmse_vs_truth": round(rmse, 4)}
 
@@ -490,9 +569,10 @@ def bench_component_tflops():
 
 
 BENCHES = [bench_spiral_2d, bench_bo_ei, bench_bo_ei_sim_device,
-           bench_bepfm_3d_sparse,
+           bench_bo_batch, bench_bepfm_3d_sparse,
            bench_eels_parallel, bench_eels64_parallel, bench_ckpfm_4d_ski,
-           bench_ski_masked_3d, bench_mgrid_1m, bench_tpu_128_canary,
+           bench_ski_masked_3d, bench_mgrid_1m, bench_mgrid_4m,
+           bench_tpu_128_canary,
            bench_component_tflops]
 
 
