@@ -46,6 +46,16 @@ __all__ = ["MaskedGridEngine", "detect_masked_lattice",
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
+# Largest grid the auto rule will train as ONE fused device program. At
+# 4,194,304 cells the fused 30-iteration program (a ~2-minute single
+# device execution) reproducibly crashed the TPU worker while the
+# 10-iteration one (~45 s) ran fine and compiled memory was identical -
+# an execution-length kill, not capacity. The proven-fused 2.36M shape
+# stays comfortably under this; larger grids use the per-segment host
+# loop (same schedule, ~1 RPC per segment). Override per-call with
+# train(..., fused=True/False).
+_FUSED_MAX_G = 3_000_000
+
 
 # --------------------------------------------------------------------------
 # host-side lattice detection
@@ -554,9 +564,19 @@ class MaskedGridEngine:
             # persistently cached). On CPU the giant single program costs
             # minutes of local compile vs seconds for the per-segment
             # programs - keep the host loop there (tests pass fused=True
-            # explicitly to pin schedule parity).
+            # explicitly to pin schedule parity). Above _FUSED_MAX_G cells
+            # the host loop also wins on accelerators: one fused
+            # multi-minute device program at 4.2M cells reproducibly
+            # crashed the TPU worker (fresh process, memory_analysis
+            # identical to the healthy 10-iteration program - a
+            # wall-time/watchdog kill, not OOM; benchmarks/
+            # BASELINE_MEASURED.md round-5 frontier), while the
+            # per-segment dispatches run the same schedule in ~seconds
+            # each with ~1 RPC round trip per segment of overhead.
+            G = int(np.prod(self.grid_shape))
             fused = (self.mesh is None and not warm_start
-                     and jax.default_backend() != "cpu")
+                     and jax.default_backend() != "cpu"
+                     and G <= _FUSED_MAX_G)
         if fused:
             # one device program for the whole adaptive schedule (zero
             # per-segment round trips; see _train_fused). Same schedule,

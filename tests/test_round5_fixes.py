@@ -143,3 +143,53 @@ def test_traj_guard_catches_nan_final_params(monkeypatch):
     # padded engines never ran the raw-shape program: guard is a no-op
     eng_pad = _tiny_128_engine(pad_dodge=True)
     eng_pad._check_traj_finite(bad_ls)
+
+
+def test_fused_auto_rule_caps_grid_size(monkeypatch):
+    """The fused-train auto rule must route very large grids to the host
+    segment loop: one fused multi-minute device program at >3M cells
+    reproducibly crashed the TPU worker (BASELINE_MEASURED.md round-5
+    frontier). Pinned by intercepting which program train() dispatches."""
+    import jax
+    import jax.numpy as jnp
+    from gpim_tpu.gpreg import mgrid_model as mm
+    from gpim_tpu.kernels.transforms import interval_inverse, \
+        positive_inverse
+
+    rng = np.random.RandomState(0)
+    axes = [np.arange(8, dtype=np.float64), np.arange(8, dtype=np.float64)]
+    Y = rng.randn(8, 8)
+    Y[rng.rand(8, 8) < 0.4] = np.nan
+    eng = mm.MaskedGridEngine("RBF", axes, ~np.isnan(Y), np.nan_to_num(Y),
+                              np.float64, cg_iters=16, precond_rank=16,
+                              seed=0)
+    bounds = {"ls_lo": jnp.zeros(2), "ls_hi": jnp.full(2, 10.0)}
+    u0 = {"lengthscale": interval_inverse(jnp.full(2, 2.0),
+                                          bounds["ls_lo"],
+                                          bounds["ls_hi"]),
+          "outputscale": positive_inverse(jnp.asarray(1.0)),
+          "noise": positive_inverse(jnp.asarray(0.1)),
+          "mean": jnp.zeros(())}
+    calls = []
+    real_fused = mm._train_fused
+    real_seg = mm._train_seg
+
+    def spy_fused(*a, **k):
+        calls.append("fused")
+        return real_fused(*a, **k)
+
+    def spy_seg(*a, **k):
+        calls.append("seg")
+        return real_seg(*a, **k)
+
+    monkeypatch.setattr(mm, "_train_fused", spy_fused)
+    monkeypatch.setattr(mm, "_train_seg", spy_seg)
+    # pretend we are on an accelerator so the auto rule's backend gate
+    # passes; the grid-size gate must then decide
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    eng.train(u0, bounds, 0.1, 1e-6, iterations=4)
+    assert calls and all(c == "fused" for c in calls), calls
+    calls.clear()
+    monkeypatch.setattr(mm, "_FUSED_MAX_G", 16)   # force "huge grid"
+    eng.train(u0, bounds, 0.1, 1e-6, iterations=4)
+    assert calls and all(c == "seg" for c in calls), calls
