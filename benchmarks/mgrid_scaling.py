@@ -103,9 +103,10 @@ def one_shape_main(shape_arg):
     """Subprocess entry: run one shape, print its JSON record."""
     import jax
     shape = tuple(int(s) for s in shape_arg.split(","))
-    # 10 iterations (not 30) at >= 4M cells: one fused 30-iteration
-    # program there reproducibly crashes the TPU worker (fresh process);
-    # the 10-iteration program runs fine - see BASELINE_MEASURED.md
+    # 10 iterations (not 30) at >= 4M cells keeps the sweep affordable;
+    # grids past mgrid_model._FUSED_MAX_G auto-route to the per-segment
+    # host loop (one fused 30-iteration device program at 4.2M cells
+    # reproducibly crashed the TPU worker) - see BASELINE_MEASURED.md
     iters = 5 if QUICK else (10 if np.prod(shape) >= 4e6 else 30)
     rec = run_shape(shape, iters)
     rec["backend"] = jax.default_backend()

@@ -467,10 +467,13 @@ def bench_mgrid_4m():
     gates. The G-vs-s/iter scaling curve and the HBM accounting behind
     this row live in benchmarks/mgrid_scaling.py +
     benchmarks/BASELINE_MEASURED.md."""
-    # iters_full=10 (not 30): one fused 30-iteration program at 4.2M
-    # cells reproducibly crashes the TPU worker (fresh process, cold run;
-    # the 10-iteration program executes fine at 43 s warm) - recorded in
-    # BASELINE_MEASURED.md "single-chip frontier" with the scaling curve
+    # iters_full=10 (not 30) keeps the suite's min-over-3 warm reps
+    # affordable at this scale. Grids past mgrid_model._FUSED_MAX_G now
+    # auto-route to the per-segment host loop (one fused multi-minute
+    # device program at 4.2M cells reproducibly crashed the TPU worker;
+    # the host loop trains the full 30 iterations in ~91 s warm) -
+    # recorded in BASELINE_MEASURED.md "single-chip frontier" with the
+    # scaling curve
     return _bench_mgrid_masked((256, 256, 64),
                                "mgrid_masked256x256x64_wall",
                                iters_full=10)
