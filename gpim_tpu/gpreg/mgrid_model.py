@@ -137,12 +137,13 @@ def _loss(u, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds, jitter, *,
     # never materializes a lane-padded (G, small) block - see
     # ski.batched_pcg on the TPU tiling economics
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
-                                   mask_flat, batch_first=True)
+                                   mask_flat, batch_first=True, mesh=mesh)
     constrain = None
     if mesh is not None:
-        # shard the G-sized CG state over 'grid': GSPMD partitions the
-        # Kronecker mode products and inserts the per-iteration reduce
-        # for the sharded-axis contraction itself (ski.ski_mll_from_mvm)
+        # shard the G-sized CG state over 'grid': the mode products run
+        # through the explicit all-to-all shard_map form where the dims
+        # divide (ski.kron_mvm_bf_sharded - shard-sized intermediates),
+        # GSPMD partitioning otherwise (ski.ski_mll_from_mvm)
         shard = ski._grid_sharder(mesh)
         constrain = lambda x: shard(x, (None, "grid"))
     core = ski.ski_mll_from_mvm(mvm, cg_iters, g0, vec_axis=1,
@@ -194,7 +195,7 @@ def _loss_ws(u, X0, axes, mask_flat, g0, Qp, lam_n, y_flat, bounds,
     warm_start for the estimator contract (gradients exact-in-tolerance,
     recorded loss value's logdet approximate)."""
     mvm = ski.make_masked_grid_mvm(kernel, list(axes), grid_shape,
-                                   mask_flat, batch_first=True)
+                                   mask_flat, batch_first=True, mesh=mesh)
     constrain = None
     if mesh is not None:
         shard = ski._grid_sharder(mesh)

@@ -183,6 +183,59 @@ def kron_mvm_bf(factors, t):
     return out
 
 
+def kron_shardable(grid_shape, mesh, axis_name="grid"):
+    """True when :func:`kron_mvm_bf_sharded` applies: a real multi-device
+    'grid' axis whose size divides BOTH leading grid dims (the shard dim
+    and the dim the all_to_all reshard parks it on)."""
+    if mesh is None or len(grid_shape) < 2:
+        return False
+    n = int(mesh.shape[axis_name])
+    return (n > 1 and grid_shape[0] % n == 0 and grid_shape[1] % n == 0)
+
+
+def kron_mvm_bf_sharded(factors, t, mesh, axis_name="grid"):
+    """:func:`kron_mvm_bf` for ``t`` (b, g_1, ..., g_d) sharded over its
+    FIRST grid dim (tensor axis 1), without ever materializing the full
+    tensor on any device.
+
+    Under plain GSPMD the contraction over the sharded dim all-gathers the
+    whole (b, G) block to every device - the dominant per-device temp of
+    the mesh-sharded masked-grid training segment (measured: two
+    full-G gathered buffers of ~75 MB each at the 1M f64 shape,
+    benchmarks/MULTICHIP_MEMORY.json). This explicit shard_map form keeps
+    every intermediate shard-sized: contract the UNSHARDED dims first
+    (local gemms), reshard once with a tiled ``all_to_all`` (moves only
+    1/n_dev of the block per device), contract the previously-sharded dim
+    locally, and reshard back. Communication per mvm: 2 all-to-alls of the
+    SHARD size vs 1 all-gather of the FULL size.
+
+    Requires :func:`kron_shardable`; factors must be the full square
+    (g_k, g_k) tables (symmetric kernel Gram factors). Differentiable
+    (all_to_all transposes to its inverse)."""
+    from jax.sharding import PartitionSpec
+    d = len(factors)
+    spec_t = PartitionSpec(*([None, axis_name] + [None] * (d - 1)))
+    repl = PartitionSpec()
+
+    def body(t_blk, *fs):
+        out = t_blk                       # (b, g1/n, g2, ..., gd)
+        # dims d..2 are unsharded: contract locally, factor k on axis k+1
+        for k in range(d - 1, 0, -1):
+            out = jnp.tensordot(out, fs[k], axes=([k + 1], [0]))
+            out = jnp.moveaxis(out, -1, k + 1)
+        # park the shard on (already-transformed) dim 2, contract dim 1
+        out = jax.lax.all_to_all(out, axis_name, split_axis=2,
+                                 concat_axis=1, tiled=True)
+        out = jnp.tensordot(out, fs[0], axes=([1], [0]))
+        out = jnp.moveaxis(out, -1, 1)    # (b, m1, m2/n, m3, ...)
+        return jax.lax.all_to_all(out, axis_name, split_axis=1,
+                                  concat_axis=2, tiled=True)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec_t,) + (repl,) * d,
+        out_specs=spec_t)(t, *factors)
+
+
 def ski_mvm(factors, idx, wgt, noise_plus_jitter, grid_shape, v,
             sorted_corners=False):
     """A v = W K_UU W^T v + (noise + jitter) v, for v of shape (n,) or
@@ -1161,12 +1214,17 @@ def make_ski_predictor(kernel, grids, grid_shape, idx, wgt, i0, w0, mask,
 
 
 def make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
-                         batch_first=False):
+                         batch_first=False, mesh=None):
     """mvm(p, noise_pj, v) for the masked-grid operator above; v is (G,) or
     (G, b) - or batch-first (b, G) with ``batch_first`` (the fast CG
     layout, see :func:`batched_pcg`). ``mask_flat`` (G,) is 1 at observed
-    grid cells."""
+    grid cells. With a ``mesh`` whose 'grid' axis divides the two leading
+    grid dims, the mode products run through the explicit
+    :func:`kron_mvm_bf_sharded` all-to-all form (every intermediate stays
+    shard-sized; plain GSPMD all-gathers the full block instead)."""
     if batch_first:
+        sharded = kron_shardable(grid_shape, mesh)
+
         def mvm(p, noise_pj, v):
             factors = grid_kernel_factors(kernel, p, grids)
             squeeze = v.ndim == 1
@@ -1175,7 +1233,9 @@ def make_masked_grid_mvm(kernel, grids, grid_shape, mask_flat,
             b = v.shape[0]
             vm = v * mask_flat[None, :]
             # kernel factors are symmetric: kron_mvm_bf applies K_k exactly
-            t = kron_mvm_bf(factors, vm.reshape((b,) + tuple(grid_shape)))
+            tg = vm.reshape((b,) + tuple(grid_shape))
+            t = (kron_mvm_bf_sharded(factors, tg, mesh) if sharded
+                 else kron_mvm_bf(factors, tg))
             out = mask_flat[None, :] * t.reshape(b, -1) + noise_pj * v
             return out[0] if squeeze else out
         return mvm

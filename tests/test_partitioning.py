@@ -295,3 +295,52 @@ def test_per_device_memory_shrinks_with_mesh():
     assert sum(mg8["collectives"].values()) >= 1
     assert mg8["argument_size_in_bytes"] * 3 <= mg1["argument_size_in_bytes"]
     assert mg8["temp_size_in_bytes"] * 2 <= mg1["temp_size_in_bytes"]
+
+
+def test_sharded_kron_mvm_no_full_gather():
+    """The explicit shard_map mode-product mvm (ski.kron_mvm_bf_sharded)
+    must (1) match the GSPMD form bit-for-bit-ish in f64, (2) differentiate
+    identically, and (3) compile with all-to-alls and WITHOUT any full-G
+    all-gather - shard-sized intermediates are its whole point (the 1M
+    f64 segment's per-device temp dropped 285 -> 142 MB when it replaced
+    the GSPMD contraction; benchmarks/MULTICHIP_MEMORY.json)."""
+    from gpim_tpu.ops import ski
+
+    shape = (16, 24, 8)
+    G = int(np.prod(shape))
+    rng = np.random.RandomState(0)
+    mask = jnp.asarray((rng.rand(G) > 0.5).astype(np.float64))
+    v = rng.randn(5, G)
+    grids = [jnp.arange(s, dtype=jnp.float64) for s in shape]
+    p = {"lengthscale": jnp.asarray([3.0, 3.0, 2.0]),
+         "variance": jnp.asarray(1.3)}
+    noise = jnp.asarray(0.1)
+    mesh = meshmod.get_mesh(8)
+    assert ski.kron_shardable(shape, mesh)
+    # too-coarse grids refuse (16 % 8 == 0 but 4 % 8 != 0 on dim 2)
+    assert not ski.kron_shardable((16, 4, 8), mesh)
+    assert not ski.kron_shardable(shape, None)
+
+    mvm0 = ski.make_masked_grid_mvm("RBF", grids, shape, mask,
+                                    batch_first=True)
+    mvm1 = ski.make_masked_grid_mvm("RBF", grids, shape, mask,
+                                    batch_first=True, mesh=mesh)
+    vd = jax.device_put(v, NamedSharding(mesh, P(None, "grid")))
+    r0 = jax.jit(lambda v: mvm0(p, noise, v))(v)
+    r1 = jax.jit(lambda v: mvm1(p, noise, v))(vd)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-12, atol=1e-12)
+
+    def loss(mvm, vv):
+        def f(ls):
+            return jnp.sum(mvm(dict(p, lengthscale=ls), noise, vv) ** 2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(mvm0, v)))(p["lengthscale"])
+    g1 = jax.jit(jax.grad(loss(mvm1, vd)))(p["lengthscale"])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-12)
+
+    txt = _compiled_text(jax.jit(lambda v: mvm1(p, noise, v)), vd)
+    assert "all-to-all" in txt, "shard_map mvm lost its all-to-alls"
+    assert "all-gather" not in txt, \
+        "sharded kron mvm still all-gathers a full-G block"
