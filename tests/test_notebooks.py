@@ -23,7 +23,7 @@ NOTEBOOKS = sorted(
 
 
 def test_notebooks_exist():
-    assert len(NOTEBOOKS) >= 6, NOTEBOOKS
+    assert len(NOTEBOOKS) >= 7, NOTEBOOKS
 
 
 @pytest.mark.parametrize("path", NOTEBOOKS,
