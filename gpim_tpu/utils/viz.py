@@ -25,6 +25,73 @@ __all__ = [
 _POS_COLORS = ['black', 'red', 'green', 'gray', 'orange', 'blue']
 
 
+# ---------------------------------------------------------------------------
+# Shared panel builders.
+#
+# The reference draws the same two panels - an energy-integrated image slice
+# with position markers, and per-position spectroscopic curves with a shaded
+# integration window - inline at four different call sites (gprutils.py
+# plot_raw_data / plot_reconstructed_data3d x2 / plot_exploration_results).
+# Here each panel is one helper and the public functions are thin
+# compositions; the rendered output (figure sizes, titles, colors, alphas)
+# is kept identical to the reference since that IS the parity contract.
+# ---------------------------------------------------------------------------
+
+def _zaxis(kwargs, n_channels):
+    """Resolve the spectroscopic axis and its optional labeling from the
+    shared z_vec/z_vec_label/z_vec_units kwargs."""
+    z_vec = kwargs.get('z_vec')
+    if z_vec is None:
+        z_vec = np.arange(n_channels)
+    return z_vec, kwargs.get('z_vec_label'), kwargs.get('z_vec_units')
+
+
+def _label_response(ax, z_label, z_units):
+    """Reference convention: axis labels appear only when BOTH the label and
+    the units were supplied (gprutils.py:521-523 et al.)."""
+    if z_label is not None and z_units is not None:
+        ax.set_xlabel(z_label + ', ' + z_units)
+        ax.set_ylabel('Response (arb. units)')
+
+
+def _slice_image(ax, cube, s, spw, cmap, pos=None, colors=_POS_COLORS):
+    """Image panel: the cube integrated over channels [s-spw, s+spw), with
+    the probed positions scattered on top (row/col -> y/x)."""
+    ax.imshow(np.sum(cube[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
+    if pos is not None:
+        for p, col in zip(pos, colors):
+            ax.scatter(p[1], p[0], c=col)
+
+
+def _spectral_curves(ax, cube, pos, z_vec, s, spw, sd=None,
+                     colors=_POS_COLORS, span_alpha=.15, ylim=(-0.1, 1.1)):
+    """Curve panel: one spectrum per probed position (optionally with a
+    2-sigma band), plus the shaded integration window."""
+    for p, col in zip(pos, colors):
+        y = cube[p[0], p[1], :]
+        ax.plot(z_vec, y, c=col)
+        if sd is not None:
+            band = 2.0 * sd[p[0], p[1], :]
+            ax.fill_between(z_vec, y - band, y + band, color=col, alpha=0.15)
+    ax.axvspan(z_vec[s - spw], z_vec[s + spw], linestyle='--',
+               alpha=span_alpha)
+    if ylim is not None:
+        ax.set_ylim(*ylim)
+
+
+def _maybe_save(fig, save_fig, kwargs):
+    """Reference save semantics (gprutils.py:556-560, 604-608): directory
+    from 'savedir' (default 'Output'), filename stem from 'filepath'."""
+    if not save_fig:
+        return
+    mdir = kwargs.get('savedir') or 'Output'
+    os.makedirs(mdir, exist_ok=True)
+    fpath = kwargs.get('filepath')
+    name = (os.path.basename(os.path.splitext(fpath)[0])
+            if fpath else 'reconstruction')
+    fig.savefig(os.path.join(mdir, name))
+
+
 def plot_kernel_hyperparams(hyperparams):
     """Evolution of lengthscale/noise(/variance) vs training iteration
     (reference gprutils.py:385-419)."""
@@ -115,112 +182,65 @@ def plot_mixture_hyperparams(hyperparams):
 def plot_raw_data(raw_data, slice_number, pos,
                   spec_window=2, norm=False, **kwargs):
     """2D energy-integrated slice + selected spectroscopic curves
-    (reference gprutils.py:485-536)."""
-    cmap = kwargs.get('cmap', 'magma')
-    z_vec = kwargs.get('z_vec')
-    z_vec_label = kwargs.get('z_vec_label')
-    z_vec_units = kwargs.get('z_vec_units')
-    z_vec = np.arange(raw_data.shape[-1]) if z_vec is None else z_vec
-    s, spw = slice_number, spec_window
-    _, ax = plt.subplots(1, 2, figsize=(10, 4.5))
-    ax[0].imshow(np.sum(raw_data[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
-    for p, col in zip(pos, _POS_COLORS):
-        ax[0].scatter(p[1], p[0], c=col)
-        ax[1].plot(z_vec, raw_data[p[0], p[1], :], c=col)
-    ax[1].axvspan(z_vec[s - spw], z_vec[s + spw], linestyle='--', alpha=.2)
-    if norm:
-        ax[1].set_ylim(-0.1, 1.1)
-    if z_vec_label is not None and z_vec_units is not None:
-        ax[1].set_xlabel(z_vec_label + ', ' + z_vec_units)
-        ax[1].set_ylabel('Response (arb. units)')
-    ax[0].set_title('Grid spectroscopy data')
-    ax[1].set_title('Individual spectroscopic curves')
+    (output parity with reference gprutils.py:485-536)."""
+    z_vec, z_label, z_units = _zaxis(kwargs, raw_data.shape[-1])
+    _, (ax_img, ax_spec) = plt.subplots(1, 2, figsize=(10, 4.5))
+    _slice_image(ax_img, raw_data, slice_number, spec_window,
+                 kwargs.get('cmap', 'magma'), pos)
+    _spectral_curves(ax_spec, raw_data, pos, z_vec, slice_number,
+                     spec_window, span_alpha=.2,
+                     ylim=(-0.1, 1.1) if norm else None)
+    _label_response(ax_spec, z_label, z_units)
+    ax_img.set_title('Grid spectroscopy data')
+    ax_spec.set_title('Individual spectroscopic curves')
     plt.subplots_adjust(wspace=.3)
     plt.show()
 
 
-def plot_reconstructed_data2d(R, mean, save_fig=False, **kwargs):
-    """Input vs GP-reconstructed 2D image (reference gprutils.py:539-584)."""
-    if save_fig:
-        mdir = kwargs.get('savedir', 'Output')
-        os.makedirs(mdir, exist_ok=True)
-        fpath = kwargs.get('filepath')
-    sparsity = kwargs.get('sparsity')
-    cmap = kwargs.get('cmap', 'nipy_spectral')
-    e1, e2 = R.shape
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 6), dpi=100)
-    ax1.imshow(R, cmap=cmap, origin='lower')
-    ax2.imshow(np.asarray(mean).reshape(e1, e2), cmap=cmap, origin='lower')
+def _input_title(sparsity):
     if sparsity:
-        ax1.set_title('Corrupted input data\n{}% of observations removed'
-                      .format(sparsity * 100))
-    else:
-        ax1.set_title('Input data')
-    ax2.set_title('GP reconstruction')
-    if save_fig:
-        name = (os.path.basename(os.path.splitext(fpath)[0])
-                if fpath else 'reconstruction')
-        fig.savefig(os.path.join(mdir, name))
+        return ('Corrupted input data\n{}% of observations removed'
+                .format(sparsity * 100))
+    return 'Input data'
+
+
+def plot_reconstructed_data2d(R, mean, save_fig=False, **kwargs):
+    """Input vs GP-reconstructed 2D image (output parity with reference
+    gprutils.py:539-584; the reference's duplicated set_title on ax1 is
+    fixed - ax2 gets its own title)."""
+    cmap = kwargs.get('cmap', 'nipy_spectral')
+    fig, (ax_in, ax_gp) = plt.subplots(1, 2, figsize=(12, 6), dpi=100)
+    ax_in.imshow(R, cmap=cmap, origin='lower')
+    ax_gp.imshow(np.asarray(mean).reshape(R.shape), cmap=cmap,
+                 origin='lower')
+    ax_in.set_title(_input_title(kwargs.get('sparsity')))
+    ax_gp.set_title('GP reconstruction')
+    _maybe_save(fig, save_fig, kwargs)
     plt.show()
 
 
 def plot_reconstructed_data3d(R, mean, sd, slice_number, pos,
                               spec_window=2, save_fig=False, **kwargs):
     """Input vs reconstruction for 3D cubes: integrated slices and per-point
-    spectra with 2-sigma bands (reference gprutils.py:587-686)."""
-    if save_fig:
-        mdir = kwargs.get('savedir') or 'Output'
-        os.makedirs(mdir, exist_ok=True)
-        fpath = kwargs.get('filepath')
-    sparsity = kwargs.get('sparsity')
+    spectra with 2-sigma bands (output parity with reference
+    gprutils.py:587-686). Each figure row is one (_slice_image,
+    _spectral_curves) panel pair: input on top, reconstruction below."""
     cmap = kwargs.get('cmap', 'nipy_spectral')
-    z_vec = kwargs.get('z_vec')
-    z_vec_label = kwargs.get('z_vec_label')
-    z_vec_units = kwargs.get('z_vec_units')
-    z_vec = np.arange(R.shape[-1]) if z_vec is None else z_vec
-    s, spw = slice_number, spec_window
-    e1, e2, e3 = R.shape
-    Rtest = np.asarray(mean).reshape(e1, e2, e3)
-    R_sd = np.asarray(sd).reshape(e1, e2, e3)
+    z_vec, z_label, z_units = _zaxis(kwargs, R.shape[-1])
+    mean3 = np.asarray(mean).reshape(R.shape)
+    sd3 = np.asarray(sd).reshape(R.shape)
     fig, ax = plt.subplots(2, 2, figsize=(14, 14))
-    ax[0, 0].imshow(np.sum(R[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
-    for p, col in zip(pos, _POS_COLORS):
-        ax[0, 0].scatter(p[1], p[0], c=col)
-        ax[0, 1].plot(z_vec, R[p[0], p[1], :], c=col)
-    ax[0, 1].axvspan(z_vec[s - spw], z_vec[s + spw],
-                     linestyle='--', alpha=.15)
-    ax[0, 1].set_ylim(-0.1, 1.1)
-    if z_vec_label is not None and z_vec_units is not None:
-        ax[0, 1].set_xlabel(z_vec_label + ', ' + z_vec_units)
-        ax[0, 1].set_ylabel('Response (arb. units)')
-    for _ax in (ax[0, 0], ax[0, 1]):
-        if sparsity:
-            _ax.set_title('Corrupted input data\n{}% of observations removed'
-                          .format(sparsity * 100))
-        else:
-            _ax.set_title('Input data')
-    ax[1, 0].imshow(np.sum(Rtest[:, :, s - spw:s + spw], axis=-1), cmap=cmap)
-    for p, col in zip(pos, _POS_COLORS):
-        ax[1, 0].scatter(p[1], p[0], c=col)
-        ax[1, 1].plot(z_vec, Rtest[p[0], p[1], :], c=col)
-        ax[1, 1].fill_between(
-            z_vec,
-            Rtest[p[0], p[1], :] - 2.0 * R_sd[p[0], p[1], :],
-            Rtest[p[0], p[1], :] + 2.0 * R_sd[p[0], p[1], :],
-            color=col, alpha=0.15)
-    ax[1, 1].axvspan(z_vec[s - spw], z_vec[s + spw],
-                     linestyle='--', alpha=.15)
-    ax[1, 1].set_ylim(-0.1, 1.1)
-    if z_vec_label is not None and z_vec_units is not None:
-        ax[1, 1].set_xlabel(z_vec_label + ', ' + z_vec_units)
-        ax[1, 1].set_ylabel('Response (arb. units)')
-    for _ax in (ax[1, 0], ax[1, 1]):
-        _ax.set_title('GPR reconstruction')
+    rows = [(R, None, _input_title(kwargs.get('sparsity'))),
+            (mean3, sd3, 'GPR reconstruction')]
+    for (cube, band, title), (ax_img, ax_spec) in zip(rows, ax):
+        _slice_image(ax_img, cube, slice_number, spec_window, cmap, pos)
+        _spectral_curves(ax_spec, cube, pos, z_vec, slice_number,
+                         spec_window, sd=band)
+        _label_response(ax_spec, z_label, z_units)
+        ax_img.set_title(title)
+        ax_spec.set_title(title)
     plt.subplots_adjust(hspace=.3)
-    if save_fig:
-        name = (os.path.basename(os.path.splitext(fpath)[0])
-                if fpath else 'reconstruction')
-        fig.savefig(os.path.join(mdir, name))
+    _maybe_save(fig, save_fig, kwargs)
     plt.show()
 
 
@@ -232,24 +252,14 @@ def plot_exploration_results(R_all, mean_all, sd_all, R_true,
     exploration episodes (reference gprutils.py:689-803)."""
     s, spw = slice_number, spec_window
     e1, e2, e3 = R_true.shape
-    z_vec = kwargs.get('z_vec')
-    z_vec_label = kwargs.get('z_vec_label')
-    z_vec_units = kwargs.get('z_vec_units')
-    z_vec = np.arange(e3) if z_vec is None else z_vec
+    z_vec, z_label, z_units = _zaxis(kwargs, e3)
     _colors = ['black', 'red', 'green', 'blue', 'orange']
     if not np.isnan(R_true).any() or np.unique(R_true).any():
         _, ax = plt.subplots(1, 2, figsize=(7, 3), dpi=100)
-        ax[0].imshow(np.sum(R_true[:, :, s - spw:s + spw], axis=-1),
-                     cmap='jet')
-        for p, col in zip(pos, _colors):
-            ax[0].scatter(p[1], p[0], c=col)
-            ax[1].plot(z_vec, R_true[p[0], p[1], :], c=col)
-        ax[1].axvspan(z_vec[s - spw], z_vec[s + spw],
-                      linestyle='--', alpha=.2)
-        ax[1].set_ylim(-0.1, 1.1)
-        if z_vec_label is not None and z_vec_units is not None:
-            ax[1].set_xlabel(z_vec_label + ', ' + z_vec_units)
-            ax[1].set_ylabel('Response (arb. units)')
+        _slice_image(ax[0], R_true, s, spw, 'jet', pos, colors=_colors)
+        _spectral_curves(ax[1], R_true, pos, z_vec, s, spw,
+                         colors=_colors, span_alpha=.2)
+        _label_response(ax[1], z_label, z_units)
         ax[0].set_title('Grid spectroscopy\n(ground truth)')
         ax[1].set_title('Individual spectroscopic curves\n(ground truth)')
 
@@ -287,9 +297,7 @@ def plot_exploration_results(R_all, mean_all, sd_all, R_true,
             ax.axvspan(z_vec[s - spw], z_vec[s + spw],
                        linestyle='--', alpha=.15)
         ax.set_ylim(-0.1, 1.1)
-        if z_vec_label is not None and z_vec_units is not None:
-            ax.set_xlabel(z_vec_label + ', ' + z_vec_units)
-            ax.set_ylabel('Response (arb. units)')
+        _label_response(ax, z_label, z_units)
         ax.set_title('GPR reconstruction (step {})'.format(episodes[i - 1]))
 
         ax = fig.add_subplot(4, n, i + 3 * n)
