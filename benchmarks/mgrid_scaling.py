@@ -137,8 +137,8 @@ def main():
                    or "out of memory" in tail or "OOM" in tail
                    or "worker process crashed" in tail)
             rec = {"shape": list(shape), "G": int(np.prod(shape)),
-                   "oom_or_crash": True, "rc": proc.returncode,
-                   "error": tail[-400:]}
+                   "oom_or_crash": True, "oom": oom,
+                   "rc": proc.returncode, "error": tail[-400:]}
             print(json.dumps(rec), flush=True)
             rows.append(rec)
             break              # the frontier: everything larger also fails

@@ -268,14 +268,15 @@ class vreconstructor:
                     dtypes.round_up(len(self.Xtest), 128))
         chunks, n_test = engine.chunk_rows(Xtest_clean, chunk)
         jit = jnp.asarray(self.jitter, self.dtype)
-        if self.independent:
+        if self._mesh is not None:
+            # shard (or warn-and-replicate, when the tile rows do not
+            # divide the 'grid' axis) via the one canonical implementation
+            from gpim_tpu.parallel import mesh as mesh_mod
+            chunks_d = mesh_mod.shard_chunk_rows(chunks, self._mesh)
+        else:
             chunks_d = jnp.asarray(chunks)
-            if self._mesh is not None and \
-                    chunks.shape[1] % self._mesh.shape["grid"] == 0:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                chunks_d = jax.device_put(
-                    chunks_d,
-                    NamedSharding(self._mesh, P(None, "grid", None)))
+        if self.independent:
+            if self._mesh is not None:
                 with self._mesh:
                     mean, var = multi.predict_independent(
                         self.u, self._Xd, self._Yd, self._maskd,
@@ -286,14 +287,7 @@ class vreconstructor:
                     self.u, self._Xd, self._Yd, self._maskd, self._bounds(),
                     jit, chunks_d, kernel=self.kernel_type)
         else:
-            chunks_d = jnp.asarray(chunks)
             if self._mesh is not None:
-                if chunks.shape[1] % self._mesh.shape["grid"] == 0:
-                    from jax.sharding import NamedSharding, \
-                        PartitionSpec as P
-                    chunks_d = jax.device_put(
-                        chunks_d,
-                        NamedSharding(self._mesh, P(None, "grid", None)))
                 with self._mesh:
                     mean, var = multi.predict_correlated(
                         self.u, self._Xd, self._Yd, self._bounds(),

@@ -162,12 +162,45 @@ def fetch(garr):
 # --------------------------------------------------------------------------
 
 def _free_port():
+    """A currently-free localhost port. Inherently racy (the probe socket
+    must close before the coordinator - a child process - can bind it), so
+    callers retry on a bind failure; see _coordinator_bind_failed."""
     import socket
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def _coordinator_bind_failed(tails):
+    """True when worker logs show the coordinator lost the _free_port race
+    (the port was taken between the probe close and the bind)."""
+    t = "\n".join(tails).lower()
+    return "address already in use" in t or "failed to bind" in t
+
+
+def _wait_all(procs, timeout):
+    """Wait on every worker under ONE shared deadline. On timeout (e.g. a
+    peer crashed pre-rendezvous and the rest block in the gloo/coordinator
+    handshake forever) kill the stragglers so no orphan outlives the dryrun
+    or holds the temp directory/coordinator port."""
+    import time
+    deadline = time.monotonic() + timeout
+    try:
+        return [p.wait(timeout=max(0.0, deadline - time.monotonic()))
+                for p in procs]
+    except Exception:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            try:
+                p.wait(timeout=30)
+            except Exception:
+                pass
+        raise
 
 
 def _worker_env(devices_per_proc):
@@ -206,23 +239,33 @@ def dryrun_multiprocess(n_procs=2, devices_per_proc=2, timeout=900,
     out = {}
     with tempfile.TemporaryDirectory(prefix="gpim_mp_") as tmp:
         for scenario in scenarios:
-            # multi-process run
-            port = _free_port()
-            procs, logs = [], []
-            for pid in range(n_procs):
-                log = open(os.path.join(
-                    tmp, "%s_p%d.log" % (scenario, pid)), "w")
-                logs.append(log)
-                procs.append(subprocess.Popen(
-                    [sys.executable, "-m", "gpim_tpu.parallel.mp_worker",
-                     scenario, str(pid), str(n_procs),
-                     "127.0.0.1:%d" % port, str(devices_per_proc), tmp],
-                    env=_worker_env(devices_per_proc),
-                    stdout=log, stderr=subprocess.STDOUT))
-            rc = [p.wait(timeout=timeout) for p in procs]
-            for log in logs:
-                log.close()
-            if any(rc):
+            # multi-process run; retried (fresh port) when the workers lost
+            # the _free_port probe-to-bind race to another process
+            for attempt in range(3):
+                port = _free_port()
+                procs, logs = [], []
+                try:
+                    for pid in range(n_procs):
+                        log = open(os.path.join(
+                            tmp, "%s_p%d.log" % (scenario, pid)), "w")
+                        logs.append(log)
+                        procs.append(subprocess.Popen(
+                            [sys.executable, "-m",
+                             "gpim_tpu.parallel.mp_worker",
+                             scenario, str(pid), str(n_procs),
+                             "127.0.0.1:%d" % port, str(devices_per_proc),
+                             tmp],
+                            env=_worker_env(devices_per_proc),
+                            stdout=log, stderr=subprocess.STDOUT))
+                    rc = _wait_all(procs, timeout)
+                finally:
+                    for p in procs:
+                        if p.poll() is None:
+                            p.kill()
+                    for log in logs:
+                        log.close()
+                if not any(rc):
+                    break
                 tails = []
                 for pid in range(n_procs):
                     with open(os.path.join(
@@ -230,6 +273,8 @@ def dryrun_multiprocess(n_procs=2, devices_per_proc=2, timeout=900,
                         tails.append("--- proc %d (rc=%d) ---\n%s"
                                      % (pid, rc[pid],
                                         "".join(f.readlines()[-30:])))
+                if attempt < 2 and _coordinator_bind_failed(tails):
+                    continue
                 raise RuntimeError(
                     "multi-process dryrun scenario %r failed (rc=%s)\n%s"
                     % (scenario, rc, "\n".join(tails)))

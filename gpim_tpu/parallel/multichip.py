@@ -93,17 +93,8 @@ def predict_sharded(u, X, Y, mask, bounds, jitter, Xtest, mesh, *,
     from gpim_tpu.parallel import mesh as meshmod
     from gpim_tpu.gpreg import engine
     chunks, n_test = engine.chunk_rows(np.asarray(Xtest), chunk)
-    if chunks.shape[1] % mesh.shape["grid"] == 0:
-        rows_grid = NamedSharding(mesh, P(None, "grid", None))
-    else:
-        meshmod._warn_replicated_once(
-            "prediction tiles of %d rows do not divide the %d-device "
-            "'grid' mesh axis - prediction runs REPLICATED (every device "
-            "computes all rows). Use a device count that divides the "
-            "chunk size (e.g. a power of two) to shard it."
-            % (chunks.shape[1], mesh.shape["grid"]))
-        rows_grid = NamedSharding(mesh, P())
-    chunks_d = put_with(np.asarray(chunks), rows_grid)
+    # shard (or warn-and-replicate) via the one canonical implementation
+    chunks_d = meshmod.shard_chunk_rows(np.asarray(chunks), mesh)
     mean, var = multi.predict_independent(
         u, X, Y, mask, bounds, jitter, chunks_d, kernel=kernel)
     mean, var = fetch(mean), fetch(var)

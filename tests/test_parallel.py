@@ -97,6 +97,38 @@ def test_vreconstructor_mesh_kwarg_matches_unsharded():
     assert_allclose(h1["lengthscale"], h2["lengthscale"], rtol=1e-5)
 
 
+def test_vreconstructor_warns_on_replicated_prediction():
+    """A mesh whose 'grid' axis does not divide the prediction tile rows
+    must warn once AND still match the unsharded result - vgpr.predict now
+    routes through the one canonical mesh.shard_chunk_rows instead of its
+    former inline (silent) divisibility checks."""
+    import warnings as _w
+    from gpim_tpu.gpreg.vgpr import vreconstructor
+    from gpim_tpu.parallel import mesh as meshmod
+    from gpim_tpu.utils import gridutils
+
+    rng = np.random.RandomState(1)
+    T = 4
+    Y = rng.rand(10, 10, T)
+    Y[rng.rand(10, 10) < 0.3] = np.nan
+    X = gridutils.get_full_grid(Y[..., 0]).copy()
+    X[:, np.isnan(Y[..., 0])] = np.nan
+    Xf = gridutils.get_full_grid(Y[..., 0])
+
+    kw = dict(kernel="RBF", independent=True, iterations=5, verbose=0,
+              precision="single")
+    m1, s1, _ = vreconstructor(X, Y, Xf, **kw).run()
+    # mesh=6 -> ('task'=2, 'grid'=3); the 128-row tile % 3 != 0
+    meshmod._warned_replicated.clear()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        m2, s2, _ = vreconstructor(X, Y, Xf, mesh=6, **kw).run()
+    assert [r for r in rec if "REPLICATED" in str(r.message)], \
+        [str(r.message) for r in rec]
+    assert_allclose(m1, m2, rtol=1e-5, atol=1e-6)
+    assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+
 def _toy_recon_data(n=14, missing=60, seed=3):
     from gpim_tpu.utils import gridutils
     rng = np.random.RandomState(seed)
